@@ -1,0 +1,430 @@
+"""Evolution Strategies — synchronous on-device population engine.
+
+Reference semantics (es_distributed/es.py run_master/run_worker and the GPU
+driver gpu_implementation/es.py):
+* Antithetic perturbation pairs θ ± σ·ε with ε = noise-table slices addressed
+  by sampled indices (es.py:411-426; gpu es.py:174-185 with a reconstruction
+  consistency assert).
+* Generation quota: collect episodes until BOTH episodes_per_batch and
+  timesteps_per_batch are met (es.py:230), OR a fixed population size per
+  generation (gpu es.py: population_size) — both supported; fixed size is
+  the TPU-preferred mode (single compiled shape).
+* Return processing centered_rank | sign | centered_sign_rank
+  (es.py:281-288); gradient g = Σ(w⁺−w⁻)ᵢ·εᵢ / (2n) (es.py:291-297);
+  update = optimizer.update(−g + l2coeff·θ) (es.py:298-299).
+* Eval episodes: unperturbed θ evaluated with prob eval_prob (es.py:388-405)
+  → here a fixed noiseless eval batch per generation (same statistics,
+  deterministic cost).
+* Obs stats: workers accumulate ob sums with prob calc_obstat_prob
+  (es.py:356-363) → here accumulated on-device from perturbed rollouts and
+  merged into the RunningStat each generation.
+* Adaptive episode cutoff DSL int | 'adaptive:start,thresh,ratio,max' |
+  'env_default' (es.py:169-186), bump when the fraction of rollouts hitting
+  the limit ≥ threshold (es.py:308-311).
+* Virtual batch norm: ref batch collected once by a random policy
+  (es.py:159-162), per-member stats recomputed for every perturbed θ (the
+  analog of ref-forward on load, batchnorm.py:119-123).
+* Tabular metric names preserved exactly (es.py:314-343).
+
+What disappears on TPU: the Redis task/result channels, relay batching,
+stale-result skipping and worker identity accounting (dist.py) — the whole
+generation is one synchronous device computation, so ResultsSkippedFrac is
+identically 0 and UniqueWorkers is the device count.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from functools import partial
+from typing import Any, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..envs.core import Env
+from ..models.core import Model
+from ..ops import fitness, obstat, optim
+from ..ops.noise import NoiseTable
+from ..utils import tabular as tlogger
+from .rollout import collect_ref_batch, rollout_batch
+
+
+@dataclasses.dataclass
+class ESConfig:
+    """Reference Config namedtuple fields (es.py:12-16) + engine knobs."""
+
+    l2coeff: float = 0.005
+    noise_stdev: float = 0.02
+    episodes_per_batch: int = 0  # 0 → fixed-population mode
+    timesteps_per_batch: int = 0
+    calc_obstat_prob: float = 0.0
+    eval_prob: float = 0.0
+    snapshot_freq: int = 0
+    return_proc_mode: str = "centered_rank"
+    episode_cutoff_mode: Any = "env_default"
+
+    # engine knobs (TPU-native)
+    population_size: int = 0  # offspring (episodes) per generation when quotas unset
+    #   — counts episodes like the GPU stack's population_size (gpu es.py:197)
+    eval_batch: int = 0  # antithetic pairs evaluated per device round
+    num_eval_episodes: int = 8  # noiseless eval episodes per generation
+    grad_chunk: int = 256  # streaming chunk for the gradient gather-matmul
+
+
+class CutoffState(NamedTuple):
+    """Adaptive episode-length curriculum (es.py:169-186)."""
+
+    tslimit: int
+    incr_threshold: float
+    incr_ratio: float
+    tslimit_max: int
+    adaptive: bool
+
+
+def parse_cutoff(mode: Any, env_default: int) -> CutoffState:
+    if isinstance(mode, int):
+        return CutoffState(mode, 0.0, 1.0, mode, False)
+    if isinstance(mode, str) and mode.startswith("adaptive:"):
+        args = mode.split(":")[1].split(",")
+        return CutoffState(int(args[0]), float(args[1]), float(args[2]), int(float(args[3])), True)
+    if mode == "env_default":
+        return CutoffState(env_default, 0.0, 1.0, env_default, False)
+    raise NotImplementedError(f"episode_cutoff_mode {mode!r}")
+
+
+def update_cutoff(c: CutoffState, lengths: np.ndarray) -> CutoffState:
+    """es.py:308-311: raise limit when ≥ threshold of rollouts hit it."""
+    if c.adaptive and (lengths == c.tslimit).mean() >= c.incr_threshold:
+        new = min(int(c.incr_ratio * c.tslimit), c.tslimit_max)
+        tlogger.log(f"Increased timestep limit from {c.tslimit} to {new}")
+        return c._replace(tslimit=new)
+    return c
+
+
+class ESState(NamedTuple):
+    """Full training state — checkpointable pytree (the analog of the GPU
+    stack's TrainingState pickle, gpu es.py:41-82)."""
+
+    theta: jax.Array  # [D]
+    opt_state: Any
+    ob_stat: obstat.RunningStat
+    key: jax.Array
+    iteration: int
+    episodes_so_far: int
+    timesteps_so_far: int
+    tslimit: int
+
+
+class GenStats(NamedTuple):
+    returns: np.ndarray  # [n, 2]
+    lengths: np.ndarray  # [n, 2]
+    eval_returns: np.ndarray
+    eval_lengths: np.ndarray
+    grad_norm: float
+    update_ratio: float
+
+
+# --------------------------------------------------------------------------
+# jitted kernels
+# --------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnums=(0, 1, 7))
+def _eval_perturbed_round(
+    env: Env,
+    model: Model,
+    theta: jax.Array,
+    table_noise: jax.Array,
+    key: jax.Array,
+    tslimit: jax.Array,
+    sigma: jax.Array,
+    npairs: int,
+    ctx=None,
+    ref_batch: Optional[jax.Array] = None,
+):
+    """One device round: sample npairs indices, evaluate θ±σε in one lockstep
+    batch of 2·npairs slots. Returns per-pair [n,2] stats (pos, neg columns,
+    matching Result.returns_n2, es.py:423-426)."""
+    dim = theta.shape[0]
+    kidx, kroll = jax.random.split(key)
+    idxs = jax.random.randint(kidx, (npairs,), 0, table_noise.shape[0] - dim + 1, dtype=jnp.int32)
+    eps = jax.vmap(lambda i: jax.lax.dynamic_slice(table_noise, (i,), (dim,)))(idxs)
+    thetas = jnp.concatenate([theta[None] + sigma * eps, theta[None] - sigma * eps])  # [2n, D]
+
+    if model.needs_ref_batch:
+        stats = model.batch_ref_stats(thetas, ref_batch)
+        params = (thetas, stats)
+    else:
+        params = (thetas, ctx)
+    act_fn = model.make_batch_act()
+
+    keys = jax.random.split(kroll, npairs)
+    keys2 = jnp.concatenate([keys, keys])  # pos/neg share episode randomness
+    res = rollout_batch(env, act_fn, params, keys2, tslimit, True)
+
+    pair = lambda x: jnp.stack([x[:npairs], x[npairs:]], axis=1)
+    return (
+        idxs,
+        pair(res.returns),
+        pair(res.sign_returns),
+        pair(res.lengths),
+        res.ob_sum,
+        res.ob_sumsq,
+        res.ob_count,
+    )
+
+
+@partial(jax.jit, static_argnums=(0, 1, 5))
+def _eval_theta(
+    env: Env,
+    model: Model,
+    theta: jax.Array,
+    key: jax.Array,
+    tslimit: jax.Array,
+    nepisodes: int,
+    ctx=None,
+    ref_batch: Optional[jax.Array] = None,
+):
+    """Noiseless eval episodes of the current θ (es.py:388-405 eval path)."""
+    thetas = jnp.broadcast_to(theta, (nepisodes,) + theta.shape)
+    if model.needs_ref_batch:
+        stats = model.batch_ref_stats(thetas[:1], ref_batch)
+        stats = jax.tree_util.tree_map(lambda x: jnp.broadcast_to(x, (nepisodes,) + x.shape[1:]), stats)
+        params = (thetas, stats)
+    else:
+        params = (thetas, ctx)
+    res = rollout_batch(env, model.make_batch_act(), params, jax.random.split(key, nepisodes), tslimit)
+    return res.returns, res.lengths
+
+
+@partial(jax.jit, static_argnums=(4, 6, 7, 8))
+def _compute_update(
+    theta: jax.Array,
+    opt_state,
+    table_noise: jax.Array,
+    noise_idxs: jax.Array,  # [n]
+    return_proc_mode: str,
+    proc_input: Tuple[jax.Array, jax.Array],  # (returns_n2, signreturns_n2)
+    optimizer: optim.Adam,
+    l2coeff: float,
+    grad_chunk: int = 256,
+):
+    """Rank transform → streamed gradient → L2 → optimizer step
+    (es.py:281-301). Hashable statics: mode string, optimizer, chunk."""
+    returns_n2, signreturns_n2 = proc_input
+    proc = fitness.process_returns(returns_n2, signreturns_n2, return_proc_mode)
+    w = proc[:, 0] - proc[:, 1]
+    dim = theta.shape[0]
+    g = fitness.gradient_from_noise(table_noise, noise_idxs, w, dim, grad_chunk)
+    g = g / (returns_n2.size)  # es.py:296 g /= returns_n2.size
+    opt_state, new_theta, ratio = optimizer.update(opt_state, theta, -g + l2coeff * theta)
+    return opt_state, new_theta, ratio, jnp.sum(jnp.square(g))
+
+
+# --------------------------------------------------------------------------
+# trainer
+# --------------------------------------------------------------------------
+
+
+class ESTrainer:
+    """Host-side orchestration of the jitted generation kernels.
+
+    Single-device by default; `parallel.es_pod` wraps the same kernels in
+    shard_map for multi-chip meshes."""
+
+    def __init__(
+        self,
+        env: Env,
+        model: Model,
+        config: ESConfig,
+        optimizer: Optional[optim.Adam] = None,
+        noise_table: Optional[NoiseTable] = None,
+        seed: int = 0,
+    ):
+        self.env = env
+        self.model = model
+        self.config = config
+        self.optimizer = optimizer or optim.Adam(stepsize=0.01)
+        key = jax.random.PRNGKey(seed)
+        kinit, kref, krun = jax.random.split(key, 3)
+
+        self.noise = noise_table or NoiseTable.from_seed()
+        theta = model.init_theta(kinit)
+        self.cutoff = parse_cutoff(config.episode_cutoff_mode, env.default_timestep_cutoff)
+
+        self.ref_batch = None
+        if model.needs_ref_batch:
+            self.ref_batch = collect_ref_batch(env, kref, batch_size=128)  # es.py:160-162
+
+        self.state = ESState(
+            theta=theta,
+            opt_state=self.optimizer.init(model.num_params),
+            ob_stat=obstat.init(env.obs_shape, eps=1e-2),  # es.py:155-158
+            key=krun,
+            iteration=0,
+            episodes_so_far=0,
+            timesteps_so_far=0,
+            tslimit=self.cutoff.tslimit,
+        )
+        self._tstart = time.time()
+
+    # ------------------------------------------------------------------ ctx
+
+    def _model_ctx(self):
+        if self.model.needs_ob_stat:
+            from ..models.mlp import MLPContext
+
+            return MLPContext(
+                obstat.mean(self.state.ob_stat),
+                obstat.std(self.state.ob_stat),
+                jnp.asarray(0.0),  # action noise off for now (ES perturbs weights)
+            )
+        return None
+
+    # ----------------------------------------------------------- generation
+
+    def train_step(self) -> GenStats:
+        cfg = self.config
+        s = self.state
+        npairs_round = cfg.eval_batch or max(cfg.population_size // 2, 1) if (cfg.eval_batch or cfg.population_size) else 64
+        quota_mode = cfg.episodes_per_batch > 0 or cfg.timesteps_per_batch > 0
+
+        key = s.key
+        ctx = self._model_ctx()
+        all_idxs, all_rets, all_srets, all_lens = [], [], [], []
+        ob_sum = np.zeros(self.env.obs_shape, np.float32)
+        ob_sumsq = np.zeros(self.env.obs_shape, np.float32)
+        ob_count = 0.0
+        episodes = 0
+        timesteps = 0
+        step_tstart = time.time()
+
+        while True:
+            key, kround = jax.random.split(key)
+            idxs, rets, srets, lens, osum, osumsq, ocount = _eval_perturbed_round(
+                self.env,
+                self.model,
+                s.theta,
+                self.noise.noise,
+                kround,
+                jnp.asarray(self.cutoff.tslimit, jnp.int32),
+                jnp.asarray(cfg.noise_stdev, jnp.float32),
+                npairs_round,
+                ctx,
+                self.ref_batch,
+            )
+            all_idxs.append(np.asarray(idxs))
+            all_rets.append(np.asarray(rets))
+            all_srets.append(np.asarray(srets))
+            all_lens.append(np.asarray(lens))
+            ob_sum += np.asarray(osum)
+            ob_sumsq += np.asarray(osumsq)
+            ob_count += float(ocount)
+            episodes += 2 * npairs_round
+            timesteps += int(np.asarray(lens).sum())
+            if quota_mode:
+                if episodes >= cfg.episodes_per_batch and timesteps >= cfg.timesteps_per_batch:
+                    break
+            else:
+                if episodes >= (cfg.population_size or 2 * npairs_round):
+                    break
+
+        noise_idxs = np.concatenate(all_idxs)
+        returns_n2 = np.concatenate(all_rets)
+        signreturns_n2 = np.concatenate(all_srets)
+        lengths_n2 = np.concatenate(all_lens)
+
+        # eval episodes (noiseless θ)
+        key, keval = jax.random.split(key)
+        if cfg.num_eval_episodes > 0:
+            eval_rets, eval_lens = _eval_theta(
+                self.env,
+                self.model,
+                s.theta,
+                keval,
+                jnp.asarray(self.cutoff.tslimit, jnp.int32),
+                cfg.num_eval_episodes,
+                ctx,
+                self.ref_batch,
+            )
+            eval_rets, eval_lens = np.asarray(eval_rets), np.asarray(eval_lens)
+        else:
+            eval_rets = eval_lens = np.zeros((0,), np.float32)
+
+        # gradient + optimizer step
+        opt_state, theta, ratio, gnorm = _compute_update(
+            s.theta,
+            s.opt_state,
+            self.noise.noise,
+            jnp.asarray(noise_idxs),
+            cfg.return_proc_mode,
+            (jnp.asarray(returns_n2), jnp.asarray(signreturns_n2)),
+            self.optimizer,
+            cfg.l2coeff,
+            cfg.grad_chunk,
+        )
+
+        # obs stats (es.py:246-248 increment path)
+        ob_stat = s.ob_stat
+        if self.model.needs_ob_stat and ob_count > 0 and cfg.calc_obstat_prob > 0:
+            ob_stat = obstat.increment(
+                ob_stat, jnp.asarray(ob_sum), jnp.asarray(ob_sumsq), ob_count
+            )
+
+        self.cutoff = update_cutoff(self.cutoff, lengths_n2)
+
+        self.state = ESState(
+            theta=theta,
+            opt_state=opt_state,
+            ob_stat=ob_stat,
+            key=key,
+            iteration=s.iteration + 1,
+            episodes_so_far=s.episodes_so_far + episodes,
+            timesteps_so_far=s.timesteps_so_far + timesteps,
+            tslimit=self.cutoff.tslimit,
+        )
+
+        # ----------------------------------------------------- diagnostics
+        step_tend = time.time()
+        tlogger.record_tabular("EpRewMean", returns_n2.mean())
+        tlogger.record_tabular("EpRewStd", returns_n2.std())
+        tlogger.record_tabular("EpLenMean", lengths_n2.mean())
+        tlogger.record_tabular("EvalEpRewMean", np.nan if eval_rets.size == 0 else eval_rets.mean())
+        tlogger.record_tabular("EvalEpRewMedian", np.nan if eval_rets.size == 0 else np.median(eval_rets))
+        tlogger.record_tabular("EvalEpRewStd", np.nan if eval_rets.size == 0 else eval_rets.std())
+        tlogger.record_tabular("EvalEpLenMean", np.nan if eval_rets.size == 0 else eval_lens.mean())
+        tlogger.record_tabular(
+            "EvalPopRank",
+            np.nan
+            if eval_rets.size == 0
+            else np.searchsorted(np.sort(returns_n2.ravel()), eval_rets).mean() / returns_n2.size,
+        )
+        tlogger.record_tabular("EvalEpCount", int(eval_rets.size))
+        tlogger.record_tabular("Norm", float(np.square(np.asarray(theta)).sum()))
+        tlogger.record_tabular("GradNorm", float(gnorm))
+        tlogger.record_tabular("UpdateRatio", float(ratio))
+        tlogger.record_tabular("EpisodesThisIter", int(lengths_n2.size))
+        tlogger.record_tabular("EpisodesSoFar", self.state.episodes_so_far)
+        tlogger.record_tabular("TimestepsThisIter", int(lengths_n2.sum()))
+        tlogger.record_tabular("TimestepsSoFar", self.state.timesteps_so_far)
+        tlogger.record_tabular("UniqueWorkers", jax.device_count())
+        tlogger.record_tabular("UniqueWorkersFrac", 1.0)
+        tlogger.record_tabular("ResultsSkippedFrac", 0.0)  # no stale results in sync SPMD
+        tlogger.record_tabular("ObCount", ob_count)
+        tlogger.record_tabular("TimeElapsedThisIter", step_tend - step_tstart)
+        tlogger.record_tabular("TimeElapsed", step_tend - self._tstart)
+        tlogger.record_tabular(
+            "TimestepsPerSecondThisIter", timesteps / max(step_tend - step_tstart, 1e-9)
+        )
+        tlogger.dump_tabular()
+
+        return GenStats(
+            returns_n2, lengths_n2, eval_rets, eval_lens, float(gnorm), float(ratio)
+        )
+
+    def train(self, iterations: int):
+        for _ in range(iterations):
+            self.train_step()
+        return self.state

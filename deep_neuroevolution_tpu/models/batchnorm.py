@@ -1,0 +1,193 @@
+"""Batch-norm and virtual-batch-norm DQN variants.
+
+Reference:
+* `ModelVirtualBN` (gpu neuroevolution/models/batchnorm.py:52-123): bias-free
+  conv16(8,4) → conv32(4,2) → fc256 → out(std 1.0); after each of the first
+  three layers, per-member VBN: x̂ = (x − μ)·inv_σ + b where μ, inv_σ =
+  1/√(var+1e-3) are *moments of the member's ref-batch forward* over
+  batch+spatial axes (batchnorm.py:74-77), recomputed every weight load
+  (batchnorm.py:119-123), and b is a learned bias. No gamma/beta.
+* `ESAtariPolicy` (es_distributed/policies.py:318-330): same idea through
+  TF batch_norm(scale=True, decay=0, eps=1e-3) driven by an is_ref
+  placeholder — gamma/beta learned, ref forward before each episode
+  (policies.py:399).
+* `ModelBN` (batchnorm.py:24-49): live training-mode BN + learned bias.
+
+TPU-native design: the scatter-update stats variables + ref_batch_assign
+graph machinery collapse into a pure function `ref_stats(θ, ref_batch) →
+stats pytree`, vmapped over the population once per generation; `act` takes
+the member's stats through `ctx`. `affine='full'` reproduces the CPU stack's
+gamma/beta parameterization; 'bias' (default) the GPU stack's bias-only.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.flat import ParamSpec
+from .core import NONLINS, Model, conv2d, dense
+from .dqn import _conv_out_hw
+
+VBN_EPS = 1e-3  # batchnorm.py:76; policies.py:322 epsilon=1e-3
+
+
+class VBNStats(NamedTuple):
+    mean: Tuple[jax.Array, ...]  # per BN layer, [C] or [F]
+    inv_std: Tuple[jax.Array, ...]
+
+
+@dataclasses.dataclass(frozen=True)
+class VirtualBNDQN(Model):
+    """Virtual-batch-norm small DQN (ModelVirtualBN / ESAtariPolicy)."""
+
+    num_actions: int = 0
+    in_hw: int = 84
+    in_ch: int = 4
+    nonlin_type: str = "relu"
+    affine: str = "bias"  # 'bias' = GPU ModelVirtualBN; 'full' = CPU ESAtariPolicy gamma/beta
+    out_std: float = 1.0  # batchnorm.py:110 dense('out') default std
+    scale_style: str = "fan_in"
+
+    LAYERS: Tuple[Tuple[str, int, int, int], ...] = (("conv1", 16, 8, 4), ("conv2", 32, 4, 2))
+    FC: int = 256
+
+    @property
+    def needs_ref_batch(self) -> bool:
+        return True  # batchnorm.py:60-62; policies.py:335-337
+
+    def build_specs(self) -> Sequence[ParamSpec]:
+        specs = []
+        hw, ch = self.in_hw, self.in_ch
+        for name, out_ch, k, s in self.LAYERS:
+            # bias=False convs (batchnorm.py:97-101); BN bias learned separately
+            specs.append(ParamSpec(f"{name}/w", (k, k, ch, out_ch), "normc", 1.0))
+            specs.append(ParamSpec(f"{name}/bn_b", (out_ch,), "zeros"))
+            if self.affine == "full":
+                specs.append(ParamSpec(f"{name}/bn_g", (out_ch,), "zeros"))  # gamma−1 stored, see _affine
+            hw, ch = _conv_out_hw(hw, k, s), out_ch
+        flat_dim = hw * hw * ch
+        specs.append(ParamSpec("fc/w", (flat_dim, self.FC), "normc", 1.0))
+        specs.append(ParamSpec("fc/bn_b", (self.FC,), "zeros"))
+        if self.affine == "full":
+            specs.append(ParamSpec("fc/bn_g", (self.FC,), "zeros"))
+        specs += [
+            ParamSpec("out/w", (self.FC, self.num_actions), "normc", self.out_std),
+            ParamSpec("out/b", (self.num_actions,), "zeros"),
+        ]
+        return specs
+
+    # --------------------------------------------------------------- helpers
+
+    def _affine(self, parts, name, xhat):
+        """Post-normalization affine. GPU style: + bias. CPU style:
+        γ·x̂ + β with γ = 1 + bn_g so a zero-init θ gives identity scale
+        (TF inits gamma to 1; our flat init is zeros for non-normc specs)."""
+        if self.affine == "full":
+            return xhat * (1.0 + parts[f"{name}/bn_g"]) + parts[f"{name}/bn_b"]
+        return xhat + parts[f"{name}/bn_b"]
+
+    def _pre_activations(self, parts, x):
+        """Yield (name, pre-BN activation, is_conv) for each normalized layer,
+        given the activation-so-far; caller supplies normalization."""
+        raise NotImplementedError  # structure inlined below for clarity
+
+    # ------------------------------------------------------------------- api
+
+    def ref_stats(self, theta: jax.Array, ref_batch: jax.Array) -> VBNStats:
+        """Forward the ref batch [R, H, W, C], collecting per-layer moments
+        over batch+spatial axes (batchnorm.py:74-77: tf.nn.moments over
+        range(1, ndim-1) of the [1, R, ...] stacked batch → here axes
+        (0,1,2) for conv, (0,) for fc)."""
+        parts = self.unflatten(theta)
+        nonlin = NONLINS[self.nonlin_type]
+        means, inv_stds = [], []
+
+        x = ref_batch.astype(jnp.float32)
+        for name, _, k, s in self.LAYERS:
+            h = conv2d({f"{name}/w": parts[f"{name}/w"], f"{name}/b": jnp.zeros(parts[f"{name}/bn_b"].shape)}, name, x, stride=s)
+            mean = jnp.mean(h, axis=(0, 1, 2))
+            var = jnp.var(h, axis=(0, 1, 2))
+            inv = 1.0 / jnp.sqrt(var + VBN_EPS)
+            means.append(mean)
+            inv_stds.append(inv)
+            x = nonlin(self._affine(parts, name, (h - mean) * inv))
+        x = x.reshape(x.shape[0], -1)
+        h = x @ parts["fc/w"]
+        mean = jnp.mean(h, axis=0)
+        var = jnp.var(h, axis=0)
+        inv = 1.0 / jnp.sqrt(var + VBN_EPS)
+        means.append(mean)
+        inv_stds.append(inv)
+        return VBNStats(tuple(means), tuple(inv_stds))
+
+    def act(self, theta, obs, key=None, ctx: VBNStats = None):
+        assert ctx is not None, "VirtualBNDQN.act requires ref-batch stats in ctx"
+        parts = self.unflatten(theta)
+        nonlin = NONLINS[self.nonlin_type]
+        x = obs.astype(jnp.float32)
+        for i, (name, _, k, s) in enumerate(self.LAYERS):
+            h = conv2d({f"{name}/w": parts[f"{name}/w"], f"{name}/b": jnp.zeros(parts[f"{name}/bn_b"].shape)}, name, x, stride=s)
+            x = nonlin(self._affine(parts, name, (h - ctx.mean[i]) * ctx.inv_std[i]))
+        x = x.reshape(-1)
+        h = x @ parts["fc/w"]
+        i = len(self.LAYERS)
+        x = nonlin(self._affine(parts, "fc", (h - ctx.mean[i]) * ctx.inv_std[i]))
+        return jnp.argmax(dense(parts, "out", x))
+
+    def make_batch_act(self):
+        """ctx (VBNStats) is stacked per member → vmap over it too."""
+
+        def batch_act(params, obs, keys):
+            thetas, stats = params
+            return jax.vmap(lambda th, o, k, st: self.act(th, o, k, st))(thetas, obs, keys, stats)
+
+        return batch_act
+
+    def batch_ref_stats(self, thetas: jax.Array, ref_batch: jax.Array) -> VBNStats:
+        """Per-member stats for the whole population (the vmapped analog of
+        re-running ref_batch_assign on every load, batchnorm.py:119-123)."""
+        return jax.vmap(lambda th: self.ref_stats(th, ref_batch))(thetas)
+
+
+@dataclasses.dataclass(frozen=True)
+class BNDQN(VirtualBNDQN):
+    """Live batch-norm variant (ModelBN, batchnorm.py:24-49). In the lockstep
+    engine each member's batch is its single env slot, so live moments reduce
+    over spatial axes only (documented divergence: the reference normalized
+    over the whole [P, B] slab of tf.layers.batch_normalization, leaking
+    stats across members — a quirk, not a feature, and not used by any
+    shipped config)."""
+
+    def act(self, theta, obs, key=None, ctx=None):
+        parts = self.unflatten(theta)
+        nonlin = NONLINS[self.nonlin_type]
+        x = obs.astype(jnp.float32)
+        for name, _, k, s in self.LAYERS:
+            h = conv2d({f"{name}/w": parts[f"{name}/w"], f"{name}/b": jnp.zeros(parts[f"{name}/bn_b"].shape)}, name, x, stride=s)
+            mean = jnp.mean(h, axis=(0, 1))
+            inv = 1.0 / jnp.sqrt(jnp.var(h, axis=(0, 1)) + VBN_EPS)
+            x = nonlin(self._affine(parts, name, (h - mean) * inv))
+        x = x.reshape(-1)
+        h = x @ parts["fc/w"]
+        # fc: batch of one → normalization degenerates to centering by itself;
+        # use feature-wise pass-through scaled by eps floor (reference has the
+        # same degeneracy at batch 1)
+        mean = jnp.mean(h)
+        inv = 1.0 / jnp.sqrt(jnp.var(h) + VBN_EPS)
+        x = nonlin(self._affine(parts, "fc", (h - mean) * inv))
+        return jnp.argmax(dense(parts, "out", x))
+
+    @property
+    def needs_ref_batch(self) -> bool:
+        return False
+
+    def make_batch_act(self):
+        def batch_act(params, obs, keys):
+            thetas, _ = params
+            return jax.vmap(lambda th, o, k: self.act(th, o, k))(thetas, obs, keys)
+
+        return batch_act

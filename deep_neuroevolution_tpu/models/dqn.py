@@ -1,0 +1,108 @@
+"""DQN-family conv policies for Atari.
+
+Reference models:
+* GPU stack `Model` (small DQN 16-32-256) and `LargeModel` (32-64-64-512) —
+  gpu neuroevolution/models/dqn.py:30-47; Xavier-scaled `SmallDQN`/`LargeDQN`
+  — dqn_xavier.py:24-42 (same topology, base.py:46-49 genome scaling).
+* CPU stack `GAAtariPolicy` — es_distributed/policies.py:434-459: conv16/8s4
+  + conv32/4s2 + fc256 + out(std=ac_init_std), nonlin around each, argmax.
+
+Topology (all SAME padding, NHWC, relu unless noted):
+  conv1 k8 s4 → conv2 k4 s2 [→ conv3 k3 s1 (large)] → flatten → fc → out
+Output = argmax over action scores (policies.py:459; base Model nets return
+scores consumed by argmax in the eval graph, concurrent_worker.py:63-66).
+
+Obs arrive as stacked uint8 frames [84, 84, 4]; scaled to [0,1] on device
+(atari_wrappers.py:182-186 ScaledFloatFrame; gpu stack divides by 255.0 in
+tf_atari.py:92).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Sequence, Tuple
+
+import jax.numpy as jnp
+
+from ..ops.flat import ParamSpec
+from .core import NONLINS, Model, conv2d, dense
+
+
+def _conv_out_hw(hw: int, k: int, s: int) -> int:
+    return -(-hw // s)  # SAME padding
+
+
+@dataclasses.dataclass(frozen=True)
+class SmallDQN(Model):
+    """conv16(8,4) → conv32(4,2) → fc256 → out (dqn.py:34-40)."""
+
+    num_actions: int = 0
+    in_hw: int = 84
+    in_ch: int = 4
+    nonlin_type: str = "relu"
+    out_std: float = 0.1  # dqn.py:40 out std; GAAtariPolicy ac_init_std default (policies.py:436)
+    scale_style: str = "fan_in"  # genome scaling: dqn.py:26-28
+
+    LAYERS: Tuple[Tuple[str, int, int, int], ...] = (("conv1", 16, 8, 4), ("conv2", 32, 4, 2))
+    FC: int = 256
+
+    def build_specs(self) -> Sequence[ParamSpec]:
+        specs = []
+        hw, ch = self.in_hw, self.in_ch
+        for name, out_ch, k, s in self.LAYERS:
+            specs += [
+                ParamSpec(f"{name}/w", (k, k, ch, out_ch), "normc", 1.0),
+                ParamSpec(f"{name}/b", (out_ch,), "zeros"),
+            ]
+            hw, ch = _conv_out_hw(hw, k, s), out_ch
+        flat_dim = hw * hw * ch
+        specs += [
+            ParamSpec("fc/w", (flat_dim, self.FC), "normc", 1.0),
+            ParamSpec("fc/b", (self.FC,), "zeros"),
+            ParamSpec("out/w", (self.FC, self.num_actions), "normc", self.out_std),
+            ParamSpec("out/b", (self.num_actions,), "zeros"),
+        ]
+        return specs
+
+    def scores(self, theta, obs, ctx=None):
+        parts = self.unflatten(theta)
+        nonlin = NONLINS[self.nonlin_type]
+        x = obs.astype(jnp.float32)
+        for name, _, k, s in self.LAYERS:
+            x = nonlin(conv2d(parts, name, x, stride=s))
+        x = x.reshape(-1)
+        x = nonlin(dense(parts, "fc", x))
+        return dense(parts, "out", x)
+
+    def act(self, theta, obs, key=None, ctx=None):
+        return jnp.argmax(self.scores(theta, obs, ctx))
+
+
+@dataclasses.dataclass(frozen=True)
+class LargeDQN(SmallDQN):
+    """conv32(8,4) → conv64(4,2) → conv64(3,1) → fc512 → out (dqn.py:43-47)."""
+
+    LAYERS: Tuple[Tuple[str, int, int, int], ...] = (
+        ("conv1", 32, 8, 4),
+        ("conv2", 64, 4, 2),
+        ("conv3", 64, 3, 1),
+    )
+    FC: int = 512
+
+
+@dataclasses.dataclass(frozen=True)
+class SmallDQNXavier(SmallDQN):
+    """dqn_xavier.py:31-33 SmallDQN — same net, base.py:46-49 genome scaling."""
+
+    scale_style: str = "base"
+
+
+@dataclasses.dataclass(frozen=True)
+class LargeDQNXavier(LargeDQN):
+    scale_style: str = "base"
+
+
+# reference-name aliases (gpu model registry resolves by class name,
+# gpu_implementation/es.py:144)
+ModelSmall = SmallDQN
+ModelLarge = LargeDQN

@@ -1,0 +1,139 @@
+"""End-to-end ES tests: learning on CartPole, maze evaluation sanity,
+antithetic/update invariants."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from deep_neuroevolution_tpu.algos.es import (
+    CutoffState,
+    ESConfig,
+    ESTrainer,
+    _eval_perturbed_round,
+    parse_cutoff,
+    update_cutoff,
+)
+from deep_neuroevolution_tpu.envs import CartPoleEnv, MazeEnv
+from deep_neuroevolution_tpu.models import ContinuousMLP, LinearClassifier
+from deep_neuroevolution_tpu.ops import Adam, NoiseTable
+from deep_neuroevolution_tpu.utils import tabular
+
+
+def _silence():
+    tabular._logger._kvs.clear()
+    tabular.dump_tabular = lambda: tabular._logger._kvs.clear()
+
+
+class TestCutoffDSL:
+    def test_int(self):
+        c = parse_cutoff(5000, 999)
+        assert c.tslimit == 5000 and not c.adaptive
+
+    def test_adaptive(self):
+        c = parse_cutoff("adaptive:100,0.5,1.5,1000", 999)
+        assert c == CutoffState(100, 0.5, 1.5, 1000, True)
+        # ≥50% of rollouts at the limit → bump by 1.5×
+        c2 = update_cutoff(c, np.array([100, 100, 50, 100]))
+        assert c2.tslimit == 150
+        # below threshold → unchanged
+        c3 = update_cutoff(c, np.array([100, 50, 50, 50]))
+        assert c3.tslimit == 100
+        # capped at max
+        c4 = update_cutoff(c._replace(tslimit=900), np.array([900, 900]))
+        assert c4.tslimit == 1000
+
+    def test_env_default(self):
+        assert parse_cutoff("env_default", 777).tslimit == 777
+
+
+class TestAntitheticInvariant:
+    def test_pair_reconstruction(self):
+        """gpu es.py:182-183 consistency assert: (θ⁺+θ⁻)/2 == θ."""
+        env = CartPoleEnv()
+        model = LinearClassifier(obs_dim=4, num_actions=2)
+        theta = model.init_theta(jax.random.PRNGKey(0))
+        table = NoiseTable.from_seed(count=100_000)
+        dim = model.num_params
+        key = jax.random.PRNGKey(1)
+        kidx, _ = jax.random.split(key)
+        idxs = jax.random.randint(kidx, (8,), 0, table.size - dim + 1, dtype=jnp.int32)
+        eps = table.get_batch(idxs, dim)
+        sigma = 0.1
+        thetas = jnp.concatenate([theta[None] + sigma * eps, theta[None] - sigma * eps])
+        recon = (thetas[:8] + thetas[8:]) / 2
+        np.testing.assert_allclose(np.asarray(recon), np.tile(np.asarray(theta), (8, 1)), atol=1e-5)
+
+
+class TestESLearning:
+    def test_cartpole_improves(self):
+        """ES must beat the random-policy plateau by a wide margin."""
+        _silence()
+        env = CartPoleEnv()
+        model = LinearClassifier(obs_dim=4, num_actions=2)
+        cfg = ESConfig(noise_stdev=0.2, l2coeff=0.005, population_size=256, num_eval_episodes=16)
+        tr = ESTrainer(
+            env,
+            model,
+            cfg,
+            optimizer=Adam(stepsize=0.1),
+            noise_table=NoiseTable.from_seed(count=500_000),
+            seed=0,
+        )
+        first = None
+        best = -np.inf
+        for i in range(40):
+            st = tr.train_step()
+            if first is None:
+                first = st.eval_returns.mean()
+            best = max(best, st.eval_returns.mean())
+            if best > 100:
+                break
+        assert best > 100, f"ES stuck: first={first}, best={best}"
+
+    def test_counters_and_state(self):
+        _silence()
+        env = CartPoleEnv()
+        model = LinearClassifier(obs_dim=4, num_actions=2)
+        cfg = ESConfig(noise_stdev=0.1, population_size=64, num_eval_episodes=4)
+        tr = ESTrainer(env, model, cfg, noise_table=NoiseTable.from_seed(count=200_000), seed=0)
+        st = tr.train_step()
+        assert tr.state.iteration == 1
+        assert tr.state.episodes_so_far == 64
+        assert tr.state.timesteps_so_far == st.lengths.sum()
+        assert st.returns.shape == (32, 2)
+        tr.train_step()
+        assert tr.state.iteration == 2
+        assert tr.state.episodes_so_far == 128
+
+    def test_quota_mode_runs_multiple_rounds(self):
+        _silence()
+        env = CartPoleEnv()
+        model = LinearClassifier(obs_dim=4, num_actions=2)
+        cfg = ESConfig(
+            noise_stdev=0.1,
+            episodes_per_batch=100,  # eval_batch 16 pairs = 32 eps/round → 4 rounds
+            timesteps_per_batch=1,
+            eval_batch=16,
+            num_eval_episodes=0,
+        )
+        tr = ESTrainer(env, model, cfg, noise_table=NoiseTable.from_seed(count=200_000), seed=0)
+        st = tr.train_step()
+        assert st.returns.size >= 100  # ≥ episodes_per_batch episodes collected
+
+    def test_maze_es_runs(self):
+        """ES on the device-side maze: returns are −distances in a sane range
+        and improve at least slightly over a few generations."""
+        _silence()
+        env = MazeEnv()
+        model = ContinuousMLP(obs_dim=11, ac_dim=2, hidden=16)
+        cfg = ESConfig(noise_stdev=0.05, population_size=64, num_eval_episodes=4)
+        tr = ESTrainer(
+            env, model, cfg, optimizer=Adam(stepsize=0.05), noise_table=NoiseTable.from_seed(count=200_000), seed=1
+        )
+        st0 = tr.train_step()
+        assert np.all(st0.returns <= 0) and np.all(st0.returns > -300)
+        for _ in range(4):
+            st = tr.train_step()
+        # mean distance-to-goal should not be worse than the first generation
+        # by more than noise margin
+        assert st.returns.mean() >= st0.returns.mean() - 15.0

@@ -1,0 +1,394 @@
+"""Deep GA — truncation-selection genetic algorithm over seed-chain genomes.
+
+Reference semantics:
+* GPU driver (gpu_implementation/ga.py:104-280): per generation, offspring =
+  mutate a uniformly-random cached parent (ga.py:122-129); fitness = one
+  episode; population sorted by fitness (ga.py:180); the top
+  `validation_threshold` (with the previous elite force-included,
+  ga.py:190-193) are re-evaluated `num_validation_episodes` times; the
+  validation argmax becomes the elite and gets `num_test_episodes` test
+  episodes (ga.py:201-204); parents for the next generation are the top
+  `selection_threshold` of the *fitness* ranking with the elite
+  force-included if absent (ga.py:260-271); parent θs are cached so each
+  offspring reconstruction is one mutation step (base.py:127-138).
+* Genome encodings (SURVEY §3.4): GPU chains are (idx, power) tuples after
+  the init seed (base.py:143-145); CPU chains are bare indices with global
+  noise_stdev and a normalized-column reinit of the raw init slice
+  (es_distributed/ga.py:250-264). Both reconstructions provided; GPU is the
+  default.
+* CPU master extras (es_distributed/ga.py:33-158): `num_elites` carried into
+  the next generation's candidate pool with their previous scores
+  (ga.py:139-141) — supported via `num_elites`.
+* Mutation power may be a schedule evaluated on frames elapsed
+  (helper.py:46-88, ga_atari_config.json "mutation_power").
+
+TPU-native design: one generation = jitted offspring synthesis (gather
+parent rows + one noise slice each — never materializing chains), lockstep
+population rollout (chunked by eval_batch), device top-k selection;
+host keeps the seed-chain bookkeeping (tiny ints) for snapshot/replay/VINE
+parity. Elite seed-chains remain exportable/importable.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from functools import partial
+from typing import Any, List, NamedTuple, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..envs.core import Env
+from ..models.core import Model
+from ..ops import optim, schedules
+from ..ops.noise import NoiseTable
+from ..utils import tabular as tlogger
+from .es import CutoffState, parse_cutoff, update_cutoff
+from .rollout import rollout_batch
+
+
+@dataclasses.dataclass
+class GAConfig:
+    population_size: int = 1000  # ga_atari_config.json
+    selection_threshold: int = 20  # parents kept per generation
+    validation_threshold: int = 10  # candidates re-evaluated for elite choice
+    num_validation_episodes: int = 30
+    num_test_episodes: int = 200
+    num_elites: int = 1  # CPU-stack elite carry-over (es_distributed/ga.py:66-67)
+    mutation_power: Any = 0.002  # scalar or schedule dict (helper.py:46-88)
+    episode_cutoff_mode: Any = "env_default"
+    timesteps: float = 1.5e9  # training budget (ga_atari_config.json)
+    eval_batch: int = 0  # rollout chunk; 0 → population_size
+    genome_style: str = "gpu"  # 'gpu' (idx,power) | 'cpu' (reinit + global stdev)
+    noise_stdev: float = 0.002  # CPU-style chain mutation stdev (frostbite_ga.json)
+
+
+class Offspring(NamedTuple):
+    """Host-side genome record (gpu ga.py:83-99 Offspring)."""
+
+    seeds: Tuple  # (init_idx, (idx, power), ...) — gpu encoding
+    fitness: float
+    training_steps: int
+
+
+class GAState:
+    """Checkpointable training state (gpu ga.py:33-82 TrainingState)."""
+
+    def __init__(self):
+        self.it = 0
+        self.timesteps_so_far = 0
+        self.validation_timesteps_so_far = 0
+        self.num_frames = 0
+        self.time_elapsed = 0.0
+        self.population: List[Offspring] = []
+        self.elite: Optional[Offspring] = None
+        self.curr_solution: Optional[Tuple] = None
+        self.curr_solution_val = float("-inf")
+        self.curr_solution_test = float("-inf")
+
+
+# --------------------------------------------------------------------------
+# jitted kernels
+# --------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnums=(2, 3))
+def _randomize_thetas(table: jax.Array, key: jax.Array, n: int, dim: int, scale_by: jax.Array):
+    """n fresh genomes: θ = ε(idx)·scale_by (base.py:121-125 randomize +
+    compute_weights_from_seeds init)."""
+    idxs = jax.random.randint(key, (n,), 0, table.shape[0] - dim + 1, dtype=jnp.int32)
+    eps = jax.vmap(lambda i: jax.lax.dynamic_slice(table, (i,), (dim,)))(idxs)
+    return idxs, eps * scale_by[None, :]
+
+
+@partial(jax.jit, static_argnums=(3, 4))
+def _mutate_thetas(
+    parent_thetas: jax.Array,  # [T, D]
+    table: jax.Array,
+    key: jax.Array,
+    n: int,
+    dim: int,
+    power: jax.Array,
+):
+    """n offspring: θ = parents[pidx] + power·ε(midx) (base.py:148-156)."""
+    kp, km = jax.random.split(key)
+    pidx = jax.random.randint(kp, (n,), 0, parent_thetas.shape[0], dtype=jnp.int32)
+    midx = jax.random.randint(km, (n,), 0, table.shape[0] - dim + 1, dtype=jnp.int32)
+    eps = jax.vmap(lambda i: jax.lax.dynamic_slice(table, (i,), (dim,)))(midx)
+    thetas = parent_thetas[pidx] + power * eps
+    return pidx, midx, thetas
+
+
+@partial(jax.jit, static_argnums=(0, 1))
+def _eval_thetas(
+    env: Env,
+    model: Model,
+    thetas: jax.Array,  # [B, D]
+    keys: jax.Array,  # [B]
+    tslimit: jax.Array,
+    ctx=None,
+    ref_batch: Optional[jax.Array] = None,
+):
+    if model.needs_ref_batch:
+        stats = model.batch_ref_stats(thetas, ref_batch)
+        params = (thetas, stats)
+    else:
+        params = (thetas, ctx)
+    res = rollout_batch(env, model.make_batch_act(), params, keys, tslimit)
+    return res.returns, res.lengths
+
+
+# --------------------------------------------------------------------------
+# trainer
+# --------------------------------------------------------------------------
+
+
+class GATrainer:
+    def __init__(
+        self,
+        env: Env,
+        model: Model,
+        config: GAConfig,
+        noise_table: Optional[NoiseTable] = None,
+        seed: int = 0,
+    ):
+        self.env = env
+        self.model = model
+        self.config = config
+        self.noise = noise_table or NoiseTable.from_seed()
+        self.key = jax.random.PRNGKey(seed)
+        self.cutoff = parse_cutoff(config.episode_cutoff_mode, env.default_timestep_cutoff)
+        self.state = GAState()
+        self.mutation_power = schedules.make_schedule(config.mutation_power)
+        self.scale_by = model.scale_by(getattr(model, "scale_style", "fan_in"))
+        self.cached_parent_thetas: Optional[jax.Array] = None  # [T, D]
+        self.cached_parent_seeds: List[Tuple] = []
+        self.ref_batch = None
+        if model.needs_ref_batch:
+            from .rollout import collect_ref_batch
+
+            self.key, kref = jax.random.split(self.key)
+            self.ref_batch = collect_ref_batch(env, kref, batch_size=128)
+        self._tstart = time.time()
+
+    def _next_key(self):
+        self.key, k = jax.random.split(self.key)
+        return k
+
+    def _reconstruct(self, seeds: Tuple) -> jax.Array:
+        """θ from a full seed chain (cache-miss path, base.py:139-145)."""
+        from ..ops import genome
+
+        dim = self.model.num_params
+        if self.config.genome_style == "gpu":
+            idxs = jnp.asarray([s[0] if isinstance(s, tuple) else s for s in seeds], jnp.int32)
+            powers = jnp.asarray(
+                [s[1] if isinstance(s, tuple) else 0.0 for s in seeds], jnp.float32
+            )
+            return genome.reconstruct_gpu_style(self.noise.noise, idxs, powers, dim, self.scale_by)
+        # cpu style: raw slice → reinit → += stdev·ε (es_distributed/ga.py:250-264)
+        theta = self.model.reinit_theta(self.noise.get(jnp.int32(seeds[0]), dim))
+        for s in seeds[1:]:
+            theta = theta + self.config.noise_stdev * self.noise.get(jnp.int32(s), dim)
+        return theta
+
+    def _eval_chunked(self, thetas, tslimit, episodes_per=1):
+        """Evaluate [N, D] thetas, `episodes_per` episodes each, chunked by
+        eval_batch. Returns returns [N, episodes_per], lengths likewise."""
+        cfg = self.config
+        N = thetas.shape[0]
+        if episodes_per > 1:
+            thetas = jnp.repeat(thetas, episodes_per, axis=0)
+        total = thetas.shape[0]
+        chunk = cfg.eval_batch or total
+        rets, lens = [], []
+        for s in range(0, total, chunk):
+            part = thetas[s : s + chunk]
+            keys = jax.random.split(self._next_key(), part.shape[0])
+            r, l = _eval_thetas(
+                self.env, self.model, part, keys, jnp.asarray(tslimit, jnp.int32), None, self.ref_batch
+            )
+            rets.append(np.asarray(r))
+            lens.append(np.asarray(l))
+        rets = np.concatenate(rets).reshape(N, episodes_per)
+        lens = np.concatenate(lens).reshape(N, episodes_per)
+        return rets, lens
+
+    # ------------------------------------------------------------ generation
+
+    def train_step(self):
+        cfg = self.config
+        st = self.state
+        tstart_iter = time.time()
+        dim = self.model.num_params
+        power = float(
+            np.asarray(self.mutation_power.value(iteration=st.it, frames=st.timesteps_so_far))
+        )
+
+        # ---- offspring synthesis (gpu ga.py:122-129 make_offspring)
+        n = cfg.population_size
+        if not self.cached_parent_seeds:
+            idxs, thetas = _randomize_thetas(self.noise.noise, self._next_key(), n, dim, self.scale_by)
+            idxs = np.asarray(idxs)
+            chains = [(int(idxs[i]),) for i in range(n)]
+        else:
+            pidx, midx, thetas = _mutate_thetas(
+                self.cached_parent_thetas,
+                self.noise.noise,
+                self._next_key(),
+                n,
+                dim,
+                jnp.asarray(power, jnp.float32),
+            )
+            pidx, midx = np.asarray(pidx), np.asarray(midx)
+            chains = [
+                self.cached_parent_seeds[pidx[i]] + ((int(midx[i]), power),) for i in range(n)
+            ]
+
+        # ---- fitness: one episode per offspring (gpu ga.py:166-168)
+        rets, lens = self._eval_chunked(thetas, self.cutoff.tslimit, 1)
+        rewards = rets[:, 0]
+        lengths = lens[:, 0]
+        population_timesteps = int(lengths.sum())
+
+        results = [Offspring(chains[i], float(rewards[i]), int(lengths[i])) for i in range(n)]
+
+        # CPU-stack elite carry-over: prepend previous top num_elites with
+        # their recorded scores (es_distributed/ga.py:139-141)
+        if cfg.num_elites > 0 and st.population:
+            results = st.population[: cfg.num_elites] + results
+            rewards = np.concatenate(
+                [[o.fitness for o in st.population[: cfg.num_elites]], rewards]
+            )
+
+        order = np.argsort([-o.fitness for o in results], kind="stable")
+        st.population = [results[i] for i in order][: max(cfg.population_size, 1)]
+
+        # ---- validation ladder (gpu ga.py:189-204)
+        validation_population = st.population[: cfg.validation_threshold]
+        if st.elite is not None and cfg.validation_threshold > 0:
+            if st.elite.seeds not in [o.seeds for o in validation_population]:
+                validation_population = [st.elite] + validation_population[:-1]
+
+        val_timesteps = 0
+        if cfg.validation_threshold > 0 and cfg.num_validation_episodes > 0:
+            vthetas = jnp.stack([self._lookup_theta(o.seeds, thetas, chains) for o in validation_population])
+            vrets, vlens = self._eval_chunked(
+                vthetas, self.cutoff.tslimit, cfg.num_validation_episodes
+            )
+            population_validation = vrets.mean(axis=1)
+            val_timesteps = int(vlens.sum())
+            elite_idx = int(np.argmax(population_validation))
+            st.elite = validation_population[elite_idx]
+            # ---- elite test episodes
+            etheta = self._lookup_theta(st.elite.seeds, thetas, chains)[None]
+            trets, tlens = self._eval_chunked(
+                etheta, self.env.default_timestep_cutoff, cfg.num_test_episodes
+            )
+            elite_test_mean = float(trets.mean())
+            if float(population_validation[elite_idx]) > st.curr_solution_val:
+                st.curr_solution = st.elite.seeds
+                st.curr_solution_val = float(population_validation[elite_idx])
+                st.curr_solution_test = elite_test_mean
+        else:
+            population_validation = np.array([])
+            elite_idx = 0
+            elite_test_mean = float("nan")
+            st.elite = st.population[0]
+            trets = np.zeros((0, 0))
+
+        # ---- next-generation parent cache (gpu ga.py:260-271)
+        if cfg.selection_threshold > 0:
+            parents = st.population[: cfg.selection_threshold]
+            if st.elite is not None and st.elite.seeds not in [o.seeds for o in parents]:
+                parents = [st.elite] + parents[: cfg.selection_threshold - 1]
+            self.cached_parent_seeds = [o.seeds for o in parents]
+            self.cached_parent_thetas = jnp.stack(
+                [self._lookup_theta(s, thetas, chains) for s in self.cached_parent_seeds]
+            )
+        else:
+            self.cached_parent_seeds = []
+            self.cached_parent_thetas = None
+
+        # ---- counters / cutoff / logging
+        st.it += 1
+        timesteps_this_iter = population_timesteps + val_timesteps
+        st.timesteps_so_far += timesteps_this_iter
+        st.validation_timesteps_so_far += val_timesteps
+        self.cutoff = update_cutoff(self.cutoff, lengths)
+        dt = time.time() - tstart_iter
+        st.time_elapsed += dt
+
+        tlogger.record_tabular("Iteration", st.it)
+        tlogger.record_tabular("MutationPower", power)
+        tlogger.record_tabular("PopulationEpRewMax", float(rewards.max()))
+        tlogger.record_tabular("PopulationEpRewMean", float(rewards.mean()))
+        tlogger.record_tabular("PopulationEpCount", int(rewards.size))
+        tlogger.record_tabular("PopulationTimesteps", population_timesteps)
+        tlogger.record_tabular("NumSelectedIndividuals", cfg.selection_threshold)
+        if population_validation.size:
+            tlogger.record_tabular(
+                "TruncatedPopulationRewMean",
+                float(np.mean([o.fitness for o in validation_population])),
+            )
+            tlogger.record_tabular(
+                "TruncatedPopulationValidationRewMean", float(np.mean(population_validation))
+            )
+            tlogger.record_tabular(
+                "TruncatedPopulationEliteValidationRewMean", float(np.max(population_validation))
+            )
+            tlogger.record_tabular("TruncatedPopulationEliteIndex", elite_idx)
+            tlogger.record_tabular("TruncatedPopulationEliteTestRewMean", elite_test_mean)
+            tlogger.record_tabular("TruncatedPopulationEliteTestEpCount", int(trets.size))
+        tlogger.record_tabular("ValidationTimestepsThisIter", val_timesteps)
+        tlogger.record_tabular("ValidationTimestepsSoFar", st.validation_timesteps_so_far)
+        tlogger.record_tabular("TimestepsThisIter", timesteps_this_iter)
+        tlogger.record_tabular("TimestepsPerSecondThisIter", timesteps_this_iter / max(dt, 1e-9))
+        tlogger.record_tabular("TimestepsSoFar", st.timesteps_so_far)
+        tlogger.record_tabular("TimeElapsedThisIter", dt)
+        tlogger.record_tabular("TimeElapsed", st.time_elapsed)
+        tlogger.dump_tabular()
+
+        return st
+
+    def _lookup_theta(self, seeds: Tuple, gen_thetas: jax.Array, gen_chains: List[Tuple]):
+        """Find θ for a chain: this generation's batch, the parent cache, or
+        full reconstruction (the cache-hit hierarchy of base.py:127-138)."""
+        try:
+            i = gen_chains.index(seeds)
+            return gen_thetas[i]
+        except ValueError:
+            pass
+        if seeds in self.cached_parent_seeds:
+            return self.cached_parent_thetas[self.cached_parent_seeds.index(seeds)]
+        return self._reconstruct(seeds)
+
+    def train(self, max_iterations: int = 10**9):
+        while self.state.it < max_iterations and self.state.timesteps_so_far < self.config.timesteps:
+            self.train_step()
+        return self.state
+
+
+class RSTrainer(GATrainer):
+    """Random search (es_distributed/rs.py): every candidate is a fresh
+    single-seed network (rs.py:210-217 — GA with no parents); the master
+    adopts the best-ever candidate (rs.py:111-116). Implemented as GA with
+    selection_threshold=0 + best-ever tracking."""
+
+    def __init__(self, env, model, config: GAConfig, **kw):
+        config = dataclasses.replace(
+            config, selection_threshold=0, num_elites=0
+        )
+        super().__init__(env, model, config, **kw)
+        self.best_score = float("-inf")
+        self.best_seeds: Optional[Tuple] = None
+
+    def train_step(self):
+        st = super().train_step()
+        top = st.population[0]
+        if top.fitness > self.best_score:
+            self.best_score = top.fitness
+            self.best_seeds = top.seeds
+        return st

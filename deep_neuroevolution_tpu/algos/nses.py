@@ -1,0 +1,307 @@
+"""NS-ES / NSR-ES — novelty-seeking ES over a meta-population of parents.
+
+Reference: es_distributed/nses.py. Semantics preserved:
+* M independent parents, each with its own θ, optimizer state, and ob-stat
+  (nses.py:95-117 theta_dict/optimizer_dict/obstat_dict).
+* Archive seeded with every parent's mean BC over `num_rollouts` noiseless
+  rollouts (nses.py:34-39 get_mean_bc, nses.py:113-114), grown by the
+  updated parent's mean BC every iteration (nses.py:246-247).
+* Per iteration the CURRENT parent is perturbed antithetically; each
+  perturbed rollout's BC is scored as k-NN novelty vs the archive and rides
+  the signreturns slot (nses.py:381-387); with
+  return_proc_mode='centered_sign_rank' the gradient ranks novelty
+  (frostbite_nses.json); algo_type='nsr' averages novelty ranks with reward
+  ranks (nses.py:226-228).
+* Parent selection: 'novelty_prob' — every parent's CURRENT mean BC is
+  re-rolled and its novelty normalized into selection probabilities
+  (nses.py:293-306) — or 'round_robin' (nses.py:300-302).
+
+TPU-native: the Redis archive list becomes a device Archive array; worker
+novelty loops become one vmapped pairwise-distance top-k; the per-parent
+dicts become a host list of small device pytrees (M is ~3-5 in every
+shipped config).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from functools import partial
+from typing import Any, List, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..envs.core import Env
+from ..models.core import Model
+from ..ops import fitness, novelty, obstat, optim
+from ..ops.noise import NoiseTable
+from ..utils import tabular as tlogger
+from .es import ESConfig, parse_cutoff, update_cutoff
+from .rollout import rollout_batch
+
+
+@dataclasses.dataclass
+class NSESConfig(ESConfig):
+    algo_type: str = "ns"  # 'ns' | 'nsr' (nses.py:63, exp['algo_type'])
+    k: int = 10  # k-NN size (novelty_search.k)
+    meta_population_size: int = 3  # novelty_search.population_size
+    num_rollouts: int = 1  # BC-averaging rollouts (novelty_search.num_rollouts)
+    selection_method: str = "novelty_prob"  # | 'round_robin'
+    archive_capacity: int = 10_000
+    return_proc_mode: str = "centered_sign_rank"  # frostbite_nses.json
+
+
+class Parent(NamedTuple):
+    theta: jax.Array
+    opt_state: Any
+    ob_stat: obstat.RunningStat
+
+
+# --------------------------------------------------------------------- jits
+
+
+@partial(jax.jit, static_argnums=(0, 1, 6, 7))
+def _perturbed_eval_with_bc(
+    env: Env,
+    model: Model,
+    theta: jax.Array,
+    table: jax.Array,
+    key: jax.Array,
+    tslimit: jax.Array,
+    npairs: int,
+    k: int,
+    sigma: jax.Array,
+    archive: novelty.Archive,
+    ctx=None,
+    ref_batch=None,
+):
+    """Antithetic eval where each rollout also yields (BC, novelty)."""
+    dim = theta.shape[0]
+    kidx, kroll = jax.random.split(key)
+    idxs = jax.random.randint(kidx, (npairs,), 0, table.shape[0] - dim + 1, dtype=jnp.int32)
+    eps = jax.vmap(lambda i: jax.lax.dynamic_slice(table, (i,), (dim,)))(idxs)
+    thetas = jnp.concatenate([theta[None] + sigma * eps, theta[None] - sigma * eps])
+    if model.needs_ref_batch:
+        stats = model.batch_ref_stats(thetas, ref_batch)
+        params = (thetas, stats)
+    else:
+        params = (thetas, ctx)
+    keys = jax.random.split(kroll, npairs)
+    res = rollout_batch(env, model.make_batch_act(), params, jnp.concatenate([keys, keys]), tslimit)
+    nov = novelty.novelty_vs_archive(archive, res.bc, k)  # [2n]
+    pair = lambda x: jnp.stack([x[:npairs], x[npairs:]], axis=1)
+    return idxs, pair(res.returns), pair(nov), pair(res.lengths)
+
+
+@partial(jax.jit, static_argnums=(0, 1, 5))
+def _mean_bc(
+    env: Env,
+    model: Model,
+    theta: jax.Array,
+    key: jax.Array,
+    tslimit: jax.Array,
+    num_rollouts: int,
+    ctx=None,
+    ref_batch=None,
+):
+    """Mean BC over noiseless rollouts (nses.py:34-39 get_mean_bc)."""
+    thetas = jnp.broadcast_to(theta, (num_rollouts,) + theta.shape)
+    if model.needs_ref_batch:
+        stats = model.batch_ref_stats(thetas[:1], ref_batch)
+        stats = jax.tree_util.tree_map(
+            lambda x: jnp.broadcast_to(x, (num_rollouts,) + x.shape[1:]), stats
+        )
+        params = (thetas, stats)
+    else:
+        params = (thetas, ctx)
+    res = rollout_batch(env, model.make_batch_act(), params, jax.random.split(key, num_rollouts), tslimit)
+    return jnp.mean(res.bc, axis=0)
+
+
+# ------------------------------------------------------------------ trainer
+
+
+class NSESTrainer:
+    def __init__(
+        self,
+        env: Env,
+        model: Model,
+        config: NSESConfig,
+        optimizer: Optional[optim.Adam] = None,
+        noise_table: Optional[NoiseTable] = None,
+        seed: int = 0,
+    ):
+        assert env.bc_dim > 0, "NS-ES needs an env with a behavior characterization"
+        self.env = env
+        self.model = model
+        self.config = config
+        self.optimizer = optimizer or optim.Adam(stepsize=0.01)
+        self.noise = noise_table or NoiseTable.from_seed()
+        self.key = jax.random.PRNGKey(seed)
+        self.cutoff = parse_cutoff(config.episode_cutoff_mode, env.default_timestep_cutoff)
+        self.archive = novelty.archive_init(config.archive_capacity, env.bc_dim)
+        self.ref_batch = None
+        if model.needs_ref_batch:
+            from .rollout import collect_ref_batch
+
+            self.ref_batch = collect_ref_batch(env, self._next_key(), batch_size=128)
+
+        # meta-population init: fresh θ per parent, archive seeded with each
+        # parent's mean BC (nses.py:95-117)
+        self.parents: List[Parent] = []
+        for p in range(config.meta_population_size):
+            theta = model.init_theta(self._next_key())
+            parent = Parent(
+                theta, self.optimizer.init(model.num_params), obstat.init(env.obs_shape, 1e-2)
+            )
+            self.parents.append(parent)
+            bc = _mean_bc(
+                env,
+                model,
+                theta,
+                self._next_key(),
+                jnp.asarray(self.cutoff.tslimit_max, jnp.int32),
+                config.num_rollouts,
+                self._ctx(parent),
+                self.ref_batch,
+            )
+            self.archive = novelty.archive_add(self.archive, bc)
+
+        self.curr_parent = 0
+        self.iteration = 0
+        self.episodes_so_far = 0
+        self.timesteps_so_far = 0
+        self._tstart = time.time()
+
+    def _next_key(self):
+        self.key, k = jax.random.split(self.key)
+        return k
+
+    def _ctx(self, parent: Parent):
+        if self.model.needs_ob_stat:
+            from ..models.mlp import MLPContext
+
+            return MLPContext(
+                obstat.mean(parent.ob_stat), obstat.std(parent.ob_stat), jnp.asarray(0.0)
+            )
+        return None
+
+    # ------------------------------------------------------------ iteration
+
+    def train_step(self):
+        cfg = self.config
+        p = self.curr_parent
+        parent = self.parents[p]
+        step_tstart = time.time()
+        npairs = max((cfg.population_size or 128) // 2, 1)
+
+        idxs, returns_n2, novelty_n2, lengths_n2 = _perturbed_eval_with_bc(
+            self.env,
+            self.model,
+            parent.theta,
+            self.noise.noise,
+            self._next_key(),
+            jnp.asarray(self.cutoff.tslimit, jnp.int32),
+            npairs,
+            cfg.k,
+            jnp.asarray(cfg.noise_stdev, jnp.float32),
+            self.archive,
+            self._ctx(parent),
+            self.ref_batch,
+        )
+
+        # gradient: novelty in the signreturns slot (nses.py:381-387);
+        # NSR averages reward ranks in (nses.py:226-228)
+        proc = fitness.process_returns(returns_n2, novelty_n2, cfg.return_proc_mode)
+        if cfg.algo_type == "nsr":
+            rew_ranks = fitness.compute_centered_ranks(returns_n2)
+            proc = (rew_ranks + proc) / 2.0
+        w = proc[:, 0] - proc[:, 1]
+        g = fitness.gradient_from_noise(
+            self.noise.noise, idxs, w, self.model.num_params, cfg.grad_chunk
+        )
+        g = g / returns_n2.size
+        opt_state, theta, ratio = self.optimizer.update(
+            parent.opt_state, parent.theta, -g + cfg.l2coeff * parent.theta
+        )
+        self.parents[p] = Parent(theta, opt_state, parent.ob_stat)
+
+        # archive insertion of updated parent's mean BC (nses.py:246-247)
+        new_bc = _mean_bc(
+            self.env,
+            self.model,
+            theta,
+            self._next_key(),
+            jnp.asarray(self.cutoff.tslimit_max, jnp.int32),
+            cfg.num_rollouts,
+            self._ctx(self.parents[p]),
+            self.ref_batch,
+        )
+        self.archive = novelty.archive_add(self.archive, new_bc)
+
+        lengths_np = np.asarray(lengths_n2)
+        returns_np = np.asarray(returns_n2)
+        self.cutoff = update_cutoff(self.cutoff, lengths_np)
+        self.iteration += 1
+        self.episodes_so_far += lengths_np.size
+        self.timesteps_so_far += int(lengths_np.sum())
+
+        # parent selection (nses.py:293-306)
+        if cfg.selection_method == "novelty_prob":
+            bcs = jnp.stack(
+                [
+                    _mean_bc(
+                        self.env,
+                        self.model,
+                        par.theta,
+                        self._next_key(),
+                        jnp.asarray(self.cutoff.tslimit_max, jnp.int32),
+                        cfg.num_rollouts,
+                        self._ctx(par),
+                        self.ref_batch,
+                    )
+                    for par in self.parents
+                ]
+            )
+            novs = np.asarray(novelty.novelty_vs_archive(self.archive, bcs, cfg.k))
+            probs = novs / novs.sum()
+            self.curr_parent = int(
+                np.random.default_rng(int(jax.random.randint(self._next_key(), (), 0, 2**31 - 1))).choice(
+                    len(self.parents), p=probs
+                )
+            )
+        elif cfg.selection_method == "round_robin":
+            self.curr_parent = (p + 1) % len(self.parents)
+        else:
+            raise NotImplementedError(cfg.selection_method)
+
+        step_tend = time.time()
+        tlogger.record_tabular("ParentId", p)
+        tlogger.record_tabular("EpRewMean", returns_np.mean())
+        tlogger.record_tabular("EpRewStd", returns_np.std())
+        tlogger.record_tabular("EpLenMean", lengths_np.mean())
+        tlogger.record_tabular("EpNovMean", float(np.asarray(novelty_n2).mean()))
+        tlogger.record_tabular("Norm", float(np.square(np.asarray(theta)).sum()))
+        tlogger.record_tabular("GradNorm", float(np.square(np.asarray(g)).sum()))
+        tlogger.record_tabular("UpdateRatio", float(ratio))
+        tlogger.record_tabular("EpisodesThisIter", lengths_np.size)
+        tlogger.record_tabular("EpisodesSoFar", self.episodes_so_far)
+        tlogger.record_tabular("TimestepsThisIter", int(lengths_np.sum()))
+        tlogger.record_tabular("TimestepsSoFar", self.timesteps_so_far)
+        tlogger.record_tabular("ArchiveSize", int(self.archive.count))
+        tlogger.record_tabular("TimeElapsedThisIter", step_tend - step_tstart)
+        tlogger.record_tabular("TimeElapsed", step_tend - self._tstart)
+        tlogger.dump_tabular()
+
+        return dict(
+            parent=p,
+            returns=returns_np,
+            novelty=np.asarray(novelty_n2),
+            update_ratio=float(ratio),
+        )
+
+    def train(self, iterations: int):
+        for _ in range(iterations):
+            self.train_step()

@@ -1,0 +1,132 @@
+"""GA / RS end-to-end tests."""
+
+import numpy as np
+
+from deep_neuroevolution_tpu.algos.ga import GAConfig, GATrainer, RSTrainer
+from deep_neuroevolution_tpu.envs import CartPoleEnv
+from deep_neuroevolution_tpu.models import LinearClassifier
+from deep_neuroevolution_tpu.ops import NoiseTable
+from deep_neuroevolution_tpu.utils import tabular
+
+
+def _silence():
+    tabular._logger._kvs.clear()
+    tabular.dump_tabular = lambda: tabular._logger._kvs.clear()
+
+
+def _mk(config=None, seed=0):
+    env = CartPoleEnv()
+    model = LinearClassifier(obs_dim=4, num_actions=2)
+    cfg = config or GAConfig(
+        population_size=64,
+        selection_threshold=8,
+        validation_threshold=4,
+        num_validation_episodes=4,
+        num_test_episodes=4,
+        mutation_power=0.1,
+        timesteps=1e9,
+    )
+    return GATrainer(env, model, cfg, noise_table=NoiseTable.from_seed(count=200_000), seed=seed)
+
+
+class TestGA:
+    def test_first_generation_randomizes(self):
+        _silence()
+        tr = _mk()
+        st = tr.train_step()
+        assert len(st.population) == 64
+        assert all(len(o.seeds) == 1 for o in st.population)  # fresh single-seed genomes
+        assert st.elite is not None
+        assert tr.cached_parent_thetas.shape == (8, tr.model.num_params)
+        # population sorted descending by fitness
+        fits = [o.fitness for o in st.population]
+        assert fits == sorted(fits, reverse=True)
+
+    def test_chains_grow_by_one(self):
+        _silence()
+        tr = _mk()
+        tr.train_step()
+        st = tr.train_step()
+        # generation-2 offspring have 2-entry chains; carried elite may have 1
+        lens = {len(o.seeds) for o in st.population}
+        assert 2 in lens
+        # mutation entries are (idx, power) tuples with the configured power
+        for o in st.population:
+            if len(o.seeds) == 2:
+                idx, power = o.seeds[1]
+                assert isinstance(idx, int) and abs(power - 0.1) < 1e-6
+                break
+
+    def test_elite_force_included_in_parents(self):
+        _silence()
+        tr = _mk()
+        tr.train_step()
+        tr.train_step()
+        assert tr.state.elite.seeds in tr.cached_parent_seeds
+
+    def test_ga_improves_on_cartpole(self):
+        _silence()
+        tr = _mk()
+        best = -1.0
+        for i in range(12):
+            st = tr.train_step()
+            best = max(best, st.population[0].fitness)
+            if best >= 200:
+                break
+        assert best > 100, f"GA stuck at {best}"
+
+    def test_reconstruction_matches_cached(self):
+        """Full chain reconstruction == incrementally-built parent θ."""
+        _silence()
+        tr = _mk()
+        tr.train_step()
+        tr.train_step()
+        seeds = tr.cached_parent_seeds[0]
+        cached = np.asarray(tr.cached_parent_thetas[0])
+        rebuilt = np.asarray(tr._reconstruct(seeds))
+        np.testing.assert_allclose(rebuilt, cached, rtol=1e-5, atol=1e-6)
+
+    def test_solution_tracking(self):
+        _silence()
+        tr = _mk()
+        tr.train_step()
+        st = tr.state
+        assert st.curr_solution is not None
+        assert st.curr_solution_val > float("-inf")
+        assert np.isfinite(st.curr_solution_test)
+
+    def test_timestep_budget_stops_training(self):
+        _silence()
+        tr = _mk(
+            GAConfig(
+                population_size=16,
+                selection_threshold=4,
+                validation_threshold=2,
+                num_validation_episodes=2,
+                num_test_episodes=2,
+                mutation_power=0.1,
+                timesteps=100,  # tiny budget → stops after gen 1
+            )
+        )
+        st = tr.train(max_iterations=50)
+        assert st.it == 1
+
+
+class TestRS:
+    def test_rs_always_fresh_genomes(self):
+        _silence()
+        env = CartPoleEnv()
+        model = LinearClassifier(obs_dim=4, num_actions=2)
+        cfg = GAConfig(
+            population_size=32,
+            selection_threshold=8,  # overridden to 0 by RSTrainer
+            validation_threshold=2,
+            num_validation_episodes=2,
+            num_test_episodes=2,
+        )
+        tr = RSTrainer(env, model, cfg, noise_table=NoiseTable.from_seed(count=200_000))
+        tr.train_step()
+        st = tr.train_step()
+        assert all(len(o.seeds) == 1 for o in st.population)  # never mutates
+        assert tr.best_score > float("-inf")
+        assert tr.best_seeds is not None

@@ -1,0 +1,120 @@
+"""NS-ES / NSR-ES + novelty ops tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from deep_neuroevolution_tpu.algos.nses import NSESConfig, NSESTrainer
+from deep_neuroevolution_tpu.envs import MazeEnv
+from deep_neuroevolution_tpu.models import ContinuousMLP
+from deep_neuroevolution_tpu.ops import NoiseTable, novelty
+from deep_neuroevolution_tpu.utils import tabular
+
+
+def _silence():
+    tabular._logger._kvs.clear()
+    tabular.dump_tabular = lambda: tabular._logger._kvs.clear()
+
+
+class TestNoveltyOps:
+    def test_euclidean_distance_equal_length(self):
+        x = np.array([0.0, 0.0])
+        y = np.array([3.0, 4.0])
+        assert novelty.euclidean_distance(x, y) == 5.0
+
+    def test_euclidean_distance_ragged(self):
+        """nses.py:12-20: shorter's last element vs longer's tail."""
+        x = np.array([1.0, 2.0, 3.0, 4.0])
+        y = np.array([1.0, 2.0])
+        # a = |y - x[:2]| = 0 ; b = |y[-1] - x[2:]| = |(2-3, 2-4)| = sqrt(5)
+        np.testing.assert_allclose(novelty.euclidean_distance(x, y), np.sqrt(5.0))
+        np.testing.assert_allclose(
+            novelty.euclidean_distance(x, y), novelty.euclidean_distance(y, x)
+        )
+
+    def test_host_knn_matches_reference_formula(self):
+        rs = np.random.RandomState(0)
+        archive = [rs.randn(4) for _ in range(20)]
+        bc = rs.randn(4)
+        ds = np.sort([np.linalg.norm(p - bc) for p in archive])
+        expect = ds[:5].mean()
+        np.testing.assert_allclose(
+            novelty.compute_novelty_vs_archive(archive, bc, 5), expect, rtol=1e-6
+        )
+
+    def test_device_archive_matches_host(self):
+        rs = np.random.RandomState(1)
+        pts = rs.randn(30, 3).astype(np.float32)
+        a = novelty.archive_init(64, 3)
+        for p in pts:
+            a = novelty.archive_add(a, jnp.asarray(p))
+        assert int(a.count) == 30
+        bcs = rs.randn(5, 3).astype(np.float32)
+        got = np.asarray(novelty.novelty_vs_archive(a, jnp.asarray(bcs), 10))
+        for i in range(5):
+            expect = novelty.compute_novelty_vs_archive(list(pts), bcs[i], 10)
+            np.testing.assert_allclose(got[i], expect, rtol=1e-4)
+
+    def test_fewer_than_k_points(self):
+        a = novelty.archive_init(16, 2)
+        a = novelty.archive_add(a, jnp.asarray([0.0, 0.0]))
+        a = novelty.archive_add(a, jnp.asarray([1.0, 0.0]))
+        got = float(novelty.novelty_vs_archive(a, jnp.asarray([[0.0, 1.0]]), 10)[0])
+        expect = (1.0 + np.sqrt(2.0)) / 2  # mean over the 2 that exist
+        np.testing.assert_allclose(got, expect, rtol=1e-5)
+
+
+class TestNSES:
+    def _mk(self, algo="ns", selection="round_robin"):
+        env = MazeEnv()
+        model = ContinuousMLP(obs_dim=11, ac_dim=2, hidden=8)
+        cfg = NSESConfig(
+            noise_stdev=0.05,
+            population_size=32,
+            algo_type=algo,
+            k=5,
+            meta_population_size=3,
+            num_rollouts=1,
+            selection_method=selection,
+            archive_capacity=256,
+            episode_cutoff_mode=100,  # short episodes for test speed
+        )
+        return NSESTrainer(env, model, cfg, noise_table=NoiseTable.from_seed(count=200_000), seed=0)
+
+    def test_archive_seeded_with_parents(self):
+        _silence()
+        tr = self._mk()
+        assert int(tr.archive.count) == 3  # one BC per parent
+
+    def test_iteration_updates_parent_and_archive(self):
+        _silence()
+        tr = self._mk()
+        theta_before = np.asarray(tr.parents[0].theta)
+        out = tr.train_step()
+        assert out["parent"] == 0
+        assert not np.allclose(np.asarray(tr.parents[0].theta), theta_before)
+        assert int(tr.archive.count) == 4
+        # round robin moved on
+        assert tr.curr_parent == 1
+        # novelty scores are positive (archive distance)
+        assert np.all(out["novelty"] >= 0)
+
+    def test_novelty_prob_selection(self):
+        _silence()
+        tr = self._mk(selection="novelty_prob")
+        tr.train_step()
+        assert 0 <= tr.curr_parent < 3
+
+    def test_nsr_mixes_reward_ranks(self):
+        _silence()
+        tr = self._mk(algo="nsr")
+        out = tr.train_step()
+        assert np.isfinite(out["update_ratio"])
+
+    def test_only_current_parent_updates(self):
+        _silence()
+        tr = self._mk()
+        before = [np.asarray(p.theta).copy() for p in tr.parents]
+        tr.train_step()  # updates parent 0
+        np.testing.assert_array_equal(np.asarray(tr.parents[1].theta), before[1])
+        np.testing.assert_array_equal(np.asarray(tr.parents[2].theta), before[2])

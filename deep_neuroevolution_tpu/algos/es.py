@@ -223,6 +223,16 @@ def _compute_update(
     return opt_state, new_theta, ratio, jnp.sum(jnp.square(g))
 
 
+@partial(jax.jit, static_argnums=(3,))
+def _make_antithetic(theta: jax.Array, table: jax.Array, key: jax.Array, npairs: int, sigma):
+    """Sample indices and build the ±σε theta batch (worker loop es.py:411-421)."""
+    dim = theta.shape[0]
+    idxs = jax.random.randint(key, (npairs,), 0, table.shape[0] - dim + 1, dtype=jnp.int32)
+    eps = jax.vmap(lambda i: jax.lax.dynamic_slice(table, (i,), (dim,)))(idxs)
+    thetas = jnp.concatenate([theta[None] + sigma * eps, theta[None] - sigma * eps])
+    return idxs, thetas
+
+
 # --------------------------------------------------------------------------
 # trainer
 # --------------------------------------------------------------------------
@@ -247,6 +257,7 @@ class ESTrainer:
         self.model = model
         self.config = config
         self.optimizer = optimizer or optim.Adam(stepsize=0.01)
+        self.is_host_env = getattr(env, "is_host_env", False)
         key = jax.random.PRNGKey(seed)
         kinit, kref, krun = jax.random.split(key, 3)
 
@@ -255,8 +266,13 @@ class ESTrainer:
         self.cutoff = parse_cutoff(config.episode_cutoff_mode, env.default_timestep_cutoff)
 
         self.ref_batch = None
-        if model.needs_ref_batch:
-            self.ref_batch = collect_ref_batch(env, kref, batch_size=128)  # es.py:160-162
+        if model.needs_ref_batch:  # es.py:160-162
+            if self.is_host_env:
+                from .rollout_host import collect_ref_batch_host
+
+                self.ref_batch = collect_ref_batch_host(env, kref, batch_size=128)
+            else:
+                self.ref_batch = collect_ref_batch(env, kref, batch_size=128)
 
         self.state = ESState(
             theta=theta,
@@ -283,12 +299,76 @@ class ESTrainer:
             )
         return None
 
+    # ------------------------------------------------------- host-env rounds
+
+    def _host_round(self, theta, key, npairs, ctx):
+        """Antithetic round on a host engine (toy/ALE): theta batch built on
+        device, rollout via rollout_host_batch. The engine's slot count caps
+        the round size (one slot per offspring, like the GPU stack's
+        batch_size=64 slots, gpu es.py:148)."""
+        from .rollout_host import rollout_host_batch
+
+        cfg = self.config
+        npairs = min(npairs, self.env.batch_size // 2)
+        idxs, thetas = _make_antithetic(
+            theta, self.noise.noise, key, npairs, jnp.asarray(cfg.noise_stdev, jnp.float32)
+        )
+        if self.model.needs_ref_batch:
+            stats = self.model.batch_ref_stats(thetas, self.ref_batch)
+            params = (thetas, stats)
+        else:
+            params = (thetas, ctx)
+        res = rollout_host_batch(
+            self.env,
+            self.model.make_batch_act(),
+            params,
+            key,
+            int(self.cutoff.tslimit),
+            out_hw=self.env.warp_size,
+            collect_obstat=self.model.needs_ob_stat and cfg.calc_obstat_prob > 0,
+        )
+        pair = lambda x: jnp.stack([x[:npairs], x[npairs : 2 * npairs]], axis=1)
+        return (
+            idxs,
+            pair(res.returns),
+            pair(res.sign_returns),
+            pair(res.lengths),
+            res.ob_sum,
+            res.ob_sumsq,
+            res.ob_count,
+        )
+
+    def _host_eval(self, theta, key, ctx):
+        from .rollout_host import rollout_host_batch
+
+        n = min(self.config.num_eval_episodes, self.env.batch_size)
+        thetas = jnp.broadcast_to(theta, (self.env.batch_size,) + theta.shape)
+        if self.model.needs_ref_batch:
+            stats = self.model.batch_ref_stats(thetas[:1], self.ref_batch)
+            stats = jax.tree_util.tree_map(
+                lambda x: jnp.broadcast_to(x, (self.env.batch_size,) + x.shape[1:]), stats
+            )
+            params = (thetas, stats)
+        else:
+            params = (thetas, ctx)
+        res = rollout_host_batch(
+            self.env,
+            self.model.make_batch_act(),
+            params,
+            key,
+            int(self.cutoff.tslimit),
+            out_hw=self.env.warp_size,
+        )
+        return res.returns[:n], res.lengths[:n]
+
     # ----------------------------------------------------------- generation
 
     def train_step(self) -> GenStats:
         cfg = self.config
         s = self.state
         npairs_round = cfg.eval_batch or max(cfg.population_size // 2, 1) if (cfg.eval_batch or cfg.population_size) else 64
+        if self.is_host_env:
+            npairs_round = min(npairs_round, self.env.batch_size // 2)
         quota_mode = cfg.episodes_per_batch > 0 or cfg.timesteps_per_batch > 0
 
         key = s.key
@@ -303,18 +383,23 @@ class ESTrainer:
 
         while True:
             key, kround = jax.random.split(key)
-            idxs, rets, srets, lens, osum, osumsq, ocount = _eval_perturbed_round(
-                self.env,
-                self.model,
-                s.theta,
-                self.noise.noise,
-                kround,
-                jnp.asarray(self.cutoff.tslimit, jnp.int32),
-                jnp.asarray(cfg.noise_stdev, jnp.float32),
-                npairs_round,
-                ctx,
-                self.ref_batch,
-            )
+            if self.is_host_env:
+                idxs, rets, srets, lens, osum, osumsq, ocount = self._host_round(
+                    s.theta, kround, npairs_round, ctx
+                )
+            else:
+                idxs, rets, srets, lens, osum, osumsq, ocount = _eval_perturbed_round(
+                    self.env,
+                    self.model,
+                    s.theta,
+                    self.noise.noise,
+                    kround,
+                    jnp.asarray(self.cutoff.tslimit, jnp.int32),
+                    jnp.asarray(cfg.noise_stdev, jnp.float32),
+                    npairs_round,
+                    ctx,
+                    self.ref_batch,
+                )
             all_idxs.append(np.asarray(idxs))
             all_rets.append(np.asarray(rets))
             all_srets.append(np.asarray(srets))
@@ -339,16 +424,19 @@ class ESTrainer:
         # eval episodes (noiseless θ)
         key, keval = jax.random.split(key)
         if cfg.num_eval_episodes > 0:
-            eval_rets, eval_lens = _eval_theta(
-                self.env,
-                self.model,
-                s.theta,
-                keval,
-                jnp.asarray(self.cutoff.tslimit, jnp.int32),
-                cfg.num_eval_episodes,
-                ctx,
-                self.ref_batch,
-            )
+            if self.is_host_env:
+                eval_rets, eval_lens = self._host_eval(s.theta, keval, ctx)
+            else:
+                eval_rets, eval_lens = _eval_theta(
+                    self.env,
+                    self.model,
+                    s.theta,
+                    keval,
+                    jnp.asarray(self.cutoff.tslimit, jnp.int32),
+                    cfg.num_eval_episodes,
+                    ctx,
+                    self.ref_batch,
+                )
             eval_rets, eval_lens = np.asarray(eval_rets), np.asarray(eval_lens)
         else:
             eval_rets = eval_lens = np.zeros((0,), np.float32)

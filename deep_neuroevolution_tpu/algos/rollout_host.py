@@ -1,0 +1,147 @@
+"""Rollout loop for host-engine envs (Atari/ALE): C++ simulators on the
+host, policy forward + preprocessing on the device.
+
+This is the TPU analog of the reference GPU stack's fused step graph
+(neuroevolution/concurrent_worker.py:58-67: C++ obs → palette/max/resize →
+indexed-matmul forward → argmax → C++ step, driven by per-worker threads).
+Here the device half (preprocess → stack → vmapped per-member forward →
+argmax) is one jitted function; the host half is the thread-pooled batched
+C++ engine. JAX's async dispatch overlaps the device computation of step t
+with the host simulators finishing step t; observations transfer as uint8
+(tf_atari.py:88-90 does the same; ~67KB/slot/step) and all image math runs
+on device.
+
+Episode accounting (returns/sign-returns/lengths/done-masking/BC) matches
+the device rollout engine (rollout.py) so both env families feed the same
+algorithm layer.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..envs.preprocess import preprocess_frames, stack_reset, stack_step
+from .rollout import RolloutResult
+
+
+@partial(jax.jit, static_argnums=(0, 4, 5))
+def _device_step(
+    act_fn: Callable,
+    params,
+    stack: jax.Array,  # [B, h, w, 4] f32
+    keys: jax.Array,  # [B]
+    out_h: int,
+    out_w: int,
+    frames: jax.Array,  # [B, 2, H, W] uint8 (this step's raw obs)
+):
+    """Preprocess new frames into the stack, then select actions."""
+    obs = preprocess_frames(frames, out_h, out_w)
+    new_stack = stack_step(stack, obs)
+    actions = act_fn(params, new_stack, keys)
+    return new_stack, actions
+
+
+@partial(jax.jit, static_argnums=(1, 2))
+def _device_reset(frames: jax.Array, out_h: int, out_w: int):
+    return stack_reset(preprocess_frames(frames, out_h, out_w))
+
+
+def rollout_host_batch(
+    henv,
+    act_fn: Callable,
+    params,
+    key: jax.Array,
+    timestep_limit: int,
+    out_hw: int = 84,
+    noops: Optional[np.ndarray] = None,
+    collect_obstat: bool = False,
+) -> RolloutResult:
+    """Evaluate B policies on the B host-engine slots, one episode each.
+
+    `timestep_limit` counts engine steps (= frameskip·4 emulator frames,
+    matching the reference's max_frames = tslimit·4 margin handling at the
+    caller, gpu es.py:197)."""
+    B = henv.batch_size
+    seed = int(jax.random.randint(key, (), 0, 2**31 - 1))
+    rng = np.random.default_rng(seed)
+    if noops is None:
+        noops = rng.integers(1, 31, size=B)  # tf_atari.py:65
+    henv.reset(noops=noops, max_frames=timestep_limit * 4)
+
+    stack = _device_reset(jnp.asarray(henv.observe()), out_hw, out_hw)
+
+    done = np.zeros(B, bool)
+    ret = np.zeros(B, np.float32)
+    sret = np.zeros(B, np.float32)
+    length = np.zeros(B, np.int32)
+    ob_sum = np.zeros((out_hw, out_hw, 4), np.float32)
+    ob_sumsq = np.zeros((out_hw, out_hw, 4), np.float32)
+    ob_count = 0.0
+
+    keys = jax.random.split(key, B)
+    tkeys0 = jax.vmap(lambda k: jax.random.fold_in(k, 0))(keys)
+    actions_dev = act_fn(params, stack, tkeys0)  # first actions from reset stack
+    t = 0
+    while not done.all() and t < timestep_limit:
+        acts = np.asarray(actions_dev)
+        # host: step simulators (engine already frameskips ×4)
+        r, d = henv.step(acts)
+        frames = henv.observe()
+        # device: fold new frames into the stack and pick next actions —
+        # dispatched async, overlapping the next host step's bookkeeping
+        tkeys = jax.vmap(lambda k: jax.random.fold_in(k, t + 1))(keys)
+        new_stack, actions_dev = _device_step(
+            act_fn, params, stack, tkeys, out_hw, out_hw, jnp.asarray(frames)
+        )
+        alive = ~done
+        ret[alive] += r[alive]
+        sret[alive] += np.sign(r[alive])
+        length[alive] += 1
+        if collect_obstat:
+            s_np = np.asarray(stack)
+            ob_sum += s_np[alive].sum(axis=0)
+            ob_sumsq += np.square(s_np[alive]).sum(axis=0)
+            ob_count += float(alive.sum())
+        stack = new_stack
+        done |= d
+        t += 1
+
+    bc = henv.final_state()  # RAM bytes (tf_atari.cpp:114-119) as the BC
+    return RolloutResult(
+        jnp.asarray(ret),
+        jnp.asarray(sret),
+        jnp.asarray(length),
+        jnp.asarray(bc),
+        jnp.asarray(ob_sum),
+        jnp.asarray(ob_sumsq),
+        jnp.asarray(ob_count, jnp.float32),
+    )
+
+
+def collect_ref_batch_host(henv, key: jax.Array, batch_size: int = 128, out_hw: int = 84):
+    """Random-policy stacked-obs collection for VBN on a host env
+    (gym_tensorflow/__init__.py:17-37 get_ref_batch)."""
+    B = henv.batch_size
+    seed = int(jax.random.randint(key, (), 0, 2**31 - 1))
+    rng = np.random.default_rng(seed)
+    henv.reset(noops=rng.integers(1, 31, size=B))
+    stack = _device_reset(jnp.asarray(henv.observe()), out_hw, out_hw)
+    collected = []
+    while sum(x.shape[0] for x in collected) < batch_size:
+        acts = rng.integers(0, henv.num_actions, size=B).astype(np.int32)
+        _, d = henv.step(acts)
+        frames = henv.observe()
+        obs = preprocess_frames(jnp.asarray(frames), out_hw, out_hw)
+        stack = stack_step(stack, obs)
+        collected.append(np.asarray(stack))
+        # restart any finished slots so frames keep flowing
+        if d.any():
+            idx = np.nonzero(d)[0].astype(np.int32)
+            henv.reset(indices=idx, noops=rng.integers(1, 31, size=idx.size))
+    out = np.concatenate(collected, axis=0)[:batch_size]
+    return jnp.asarray(out)

@@ -97,6 +97,6 @@ def make(game: str, **kwargs) -> Env:
             return _REGISTRY[env_id](**kwargs)
     from . import atari  # late import: optional native dependency
 
-    if atari.is_available() and game in atari.GAMES:
+    if game == "toy" or game in atari.GAMES:
         return atari.AtariEnv(game, **kwargs)
     raise ValueError(f"unknown game {game!r}; registered: {sorted(_REGISTRY)}")

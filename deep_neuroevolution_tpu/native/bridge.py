@@ -1,0 +1,119 @@
+"""ctypes bridge to the native batched env engine (env_engine.cpp).
+
+The Python-visible class `HostBatchEnv` is the batched, index-addressable
+interface of the reference's TF env ops (gym_tensorflow/tf_env.py:27-80:
+reset(indices, max_frames), step(action, indices) → (reward, done),
+observation(indices)) re-hosted on the C ABI. NumPy buffers are reused
+across calls to avoid per-step allocation.
+"""
+
+from __future__ import annotations
+
+import ctypes
+from typing import Optional, Tuple
+
+import numpy as np
+
+from .build import ensure_built
+
+
+_lib = None
+
+
+def _load():
+    global _lib
+    if _lib is None:
+        path = ensure_built()
+        lib = ctypes.CDLL(str(path))
+        lib.nevo_create.restype = ctypes.c_void_p
+        lib.nevo_create.argtypes = [ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int, ctypes.c_int]
+        lib.nevo_destroy.argtypes = [ctypes.c_void_p]
+        lib.nevo_obs_shape.argtypes = [ctypes.c_void_p, ctypes.POINTER(ctypes.c_int)]
+        lib.nevo_action_count.argtypes = [ctypes.c_void_p]
+        lib.nevo_action_count.restype = ctypes.c_int
+        lib.nevo_final_state_size.argtypes = [ctypes.c_void_p]
+        lib.nevo_final_state_size.restype = ctypes.c_int
+        iptr = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+        fptr = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
+        u8ptr = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+        lib.nevo_reset.argtypes = [ctypes.c_void_p, iptr, iptr, iptr, ctypes.c_int]
+        lib.nevo_step.argtypes = [ctypes.c_void_p, iptr, iptr, ctypes.c_int, fptr, u8ptr]
+        lib.nevo_observe.argtypes = [ctypes.c_void_p, iptr, ctypes.c_int, u8ptr]
+        lib.nevo_final_state.argtypes = [ctypes.c_void_p, iptr, ctypes.c_int, fptr]
+        _lib = lib
+    return _lib
+
+
+class HostBatchEnv:
+    """Batched host simulator pool (toy game or ALE)."""
+
+    def __init__(
+        self,
+        backend: str = "toy",
+        arg: str = "",
+        batch_size: int = 64,
+        num_threads: int = 0,
+    ):
+        lib = _load()
+        self._lib = lib
+        self._h = lib.nevo_create(backend.encode(), arg.encode(), batch_size, num_threads)
+        if not self._h:
+            raise RuntimeError(f"backend {backend!r} unavailable (ALE not compiled in?)")
+        self.batch_size = batch_size
+        dims = (ctypes.c_int * 3)()
+        lib.nevo_obs_shape(self._h, dims)
+        self.frames_per_obs, self.height, self.width = dims[0], dims[1], dims[2]
+        self.num_actions = lib.nevo_action_count(self._h)
+        self.final_state_size = lib.nevo_final_state_size(self._h)
+        self._all = np.arange(batch_size, dtype=np.int32)
+        # reusable buffers
+        self._rew = np.zeros(batch_size, np.float32)
+        self._done = np.zeros(batch_size, np.uint8)
+        self._obs = np.zeros(
+            (batch_size, self.frames_per_obs, self.height, self.width), np.uint8
+        )
+        self._fs = np.zeros((batch_size, self.final_state_size), np.float32)
+
+    def reset(
+        self,
+        indices: Optional[np.ndarray] = None,
+        noops: Optional[np.ndarray] = None,
+        max_frames: int = 100_000,
+    ) -> None:
+        idx = self._all if indices is None else np.ascontiguousarray(indices, np.int32)
+        if noops is None:
+            # random noop start 1..30 (tf_atari.py:65 reset)
+            noops = np.random.randint(1, 31, size=idx.size)
+        noops = np.ascontiguousarray(noops, np.int32)
+        mf = np.full(idx.size, max_frames, np.int32)
+        self._lib.nevo_reset(self._h, idx, noops, mf, idx.size)
+
+    def step(self, actions: np.ndarray, indices: Optional[np.ndarray] = None):
+        idx = self._all if indices is None else np.ascontiguousarray(indices, np.int32)
+        acts = np.ascontiguousarray(actions, np.int32)
+        n = idx.size
+        self._lib.nevo_step(self._h, idx, acts, n, self._rew[:n], self._done[:n])
+        return self._rew[:n].copy(), self._done[:n].astype(bool)
+
+    def observe(self, indices: Optional[np.ndarray] = None) -> np.ndarray:
+        idx = self._all if indices is None else np.ascontiguousarray(indices, np.int32)
+        n = idx.size
+        self._lib.nevo_observe(self._h, idx, n, self._obs[:n].reshape(-1))
+        return self._obs[:n]
+
+    def final_state(self, indices: Optional[np.ndarray] = None) -> np.ndarray:
+        idx = self._all if indices is None else np.ascontiguousarray(indices, np.int32)
+        n = idx.size
+        self._lib.nevo_final_state(self._h, idx, n, self._fs[:n].reshape(-1))
+        return self._fs[:n].copy()
+
+    def close(self):
+        if self._h:
+            self._lib.nevo_destroy(self._h)
+            self._h = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass

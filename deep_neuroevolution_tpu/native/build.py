@@ -1,0 +1,67 @@
+"""Build the native env engine shared library.
+
+Invoked automatically on first use (bridge.py) or manually:
+    python -m deep_neuroevolution_tpu.native.build [--with-ale ALE_PREFIX]
+
+Plain g++ (no cmake dependency): the engine is two translation units with
+only the C++ standard library; the ALE backend is compiled in when an ALE
+install prefix (headers + libale.so) is provided.
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+from pathlib import Path
+
+SRC_DIR = Path(__file__).resolve().parent
+LIB_NAME = "libnevo_env.so"
+
+
+def lib_path() -> Path:
+    return SRC_DIR / LIB_NAME
+
+
+def build(with_ale: str | None = None, verbose: bool = False) -> Path:
+    out = lib_path()
+    src = SRC_DIR / "env_engine.cpp"
+    cmd = [
+        "g++",
+        "-O3",
+        "-std=c++17",
+        "-fPIC",
+        "-shared",
+        "-pthread",
+        "-Wall",
+        str(src),
+        "-o",
+        str(out),
+    ]
+    if with_ale:
+        cmd[1:1] = [
+            "-DHAVE_ALE",
+            f"-I{with_ale}/include/ale",
+            f"-L{with_ale}/lib",
+            "-lale",
+            f"-Wl,-rpath,{with_ale}/lib",
+        ]
+    if verbose:
+        print(" ".join(cmd), file=sys.stderr)
+    subprocess.run(cmd, check=True, capture_output=not verbose)
+    return out
+
+
+def ensure_built() -> Path:
+    out = lib_path()
+    src = SRC_DIR / "env_engine.cpp"
+    if not out.exists() or out.stat().st_mtime < src.stat().st_mtime:
+        build(with_ale=os.environ.get("NEVO_ALE_PREFIX"))
+    return out
+
+
+if __name__ == "__main__":
+    ale = None
+    if "--with-ale" in sys.argv:
+        ale = sys.argv[sys.argv.index("--with-ale") + 1]
+    print(build(with_ale=ale, verbose=True))

@@ -1,0 +1,54 @@
+// Batched host-side environment engine — TPU-native equivalent of the
+// reference's TF C++ env framework (gym_tensorflow/tf_env.cpp:40-318,
+// tf_env.h:27-83): a pool of per-slot simulator instances stepped in
+// parallel by a thread pool, behind a narrow C ABI consumed from Python via
+// ctypes and fed into device buffers.
+//
+// Differences from the reference by design:
+//  * No TF resource manager / op registration — a plain C handle API.
+//  * The thread pool is owned by the engine (the reference borrowed TF's
+//    intra-op pool, tf_env.cpp:145-153); work is sharded by slot index with
+//    a completion latch, same structure as the BlockingCounter pattern.
+//  * Backends are pluggable: ALE (compiled when HAVE_ALE) mirrors
+//    atari/tf_atari.cpp:24-128 exactly; a built-in "catch" toy game with
+//    identical frame/RAM/reset semantics exercises the full path in
+//    environments without ALE.
+
+#ifndef NEVO_ENV_ENGINE_H
+#define NEVO_ENV_ENGINE_H
+
+#include <cstdint>
+
+extern "C" {
+
+// Create an engine: backend "toy" or "ale"; `arg` is backend-specific
+// (ALE: ROM path; toy: unused). Returns an opaque handle or null.
+void* nevo_create(const char* backend, const char* arg, int batch_size, int num_threads);
+void nevo_destroy(void* handle);
+
+// Observation geometry: dims[0..2] = {frames_per_obs, height, width}.
+void nevo_obs_shape(void* handle, int* dims);
+int nevo_action_count(void* handle);
+int nevo_final_state_size(void* handle);  // RAM_SIZE analog (tf_atari.cpp:114-119)
+
+// Reset slots with per-slot noop counts and frame caps
+// (tf_env.cpp:115-176 EnvironmentReset; tf_atari.cpp:83-112 semantics).
+void nevo_reset(void* handle, const int* indices, const int* noops,
+                const int* max_frames, int n);
+
+// Step slots: frameskip-accumulated reward + done flags
+// (tf_env.cpp:238-318 EnvironmentStep; tf_atari.cpp:64-81).
+void nevo_step(void* handle, const int* indices, const int* actions, int n,
+               float* rewards, uint8_t* dones);
+
+// Copy each slot's observation (previous+current frame buffers,
+// tf_atari.cpp:57-62) into out[n, frames, H, W] uint8.
+void nevo_observe(void* handle, const int* indices, int n, uint8_t* out);
+
+// Behavior characterization / final state (RAM bytes as floats,
+// tf_atari.cpp:114-119) into out[n, final_state_size].
+void nevo_final_state(void* handle, const int* indices, int n, float* out);
+
+}  // extern "C"
+
+#endif  // NEVO_ENV_ENGINE_H

@@ -1,0 +1,148 @@
+"""Native host engine + preprocessing + host rollout tests (toy backend)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from deep_neuroevolution_tpu.envs import preprocess
+from deep_neuroevolution_tpu.native.bridge import HostBatchEnv
+
+
+class TestPreprocess:
+    def test_palette_matches_reference_formula(self):
+        """grayscale = rgb/255 · [0.299, 0.587, 0.114] (tf_atari.py:143-150)."""
+        rgb = preprocess.RGB_PALETTE_UINT8
+        assert rgb.shape == (256, 3)
+        assert rgb[0].tolist() == [0, 0, 0]
+        # even indices hold colors (odd are zero-padding): 14 = 0xececec
+        assert rgb[14].tolist() == [0xEC, 0xEC, 0xEC]
+        assert rgb[15].tolist() == [0, 0, 0]
+        expect = rgb.astype(np.float32) / 255.0 @ np.array([0.299, 0.587, 0.114], np.float32)
+        np.testing.assert_allclose(preprocess.GRAYSCALE_PALETTE, expect, rtol=1e-6)
+
+    def test_interp_matrix_align_corners(self):
+        m = preprocess._interp_matrix(5, 3)
+        # align_corners: out 0 → in 0, out 2 → in 4, out 1 → in 2
+        np.testing.assert_allclose(m @ np.arange(5.0), [0.0, 2.0, 4.0], atol=1e-6)
+        np.testing.assert_allclose(m.sum(axis=1), np.ones(3), atol=1e-6)
+
+    def test_preprocess_shapes_and_range(self):
+        frames = np.random.randint(0, 256, (3, 2, 210, 160), np.uint8)
+        out = preprocess.preprocess_frames(jnp.asarray(frames))
+        assert out.shape == (3, 84, 84, 1)
+        out = np.asarray(out)
+        assert out.min() >= 0.0 and out.max() <= 1.0
+
+    def test_two_frame_max(self):
+        """A pixel lit in either frame survives preprocessing (flicker
+        removal, tf_atari.py:92)."""
+        a = np.zeros((1, 2, 210, 160), np.uint8)
+        a[0, 0, :, :] = 14  # bright color in frame 0 only
+        b = np.zeros((1, 2, 210, 160), np.uint8)
+        b[0, 1, :, :] = 14  # same color in frame 1 only
+        oa = np.asarray(preprocess.preprocess_frames(jnp.asarray(a)))
+        ob = np.asarray(preprocess.preprocess_frames(jnp.asarray(b)))
+        np.testing.assert_allclose(oa, ob, atol=1e-6)
+        assert oa.max() > 0.5
+
+    def test_stacking_semantics(self):
+        f1 = jnp.ones((2, 4, 4, 1)) * 0.1
+        f2 = jnp.ones((2, 4, 4, 1)) * 0.2
+        s = preprocess.stack_reset(f1)
+        assert s.shape == (2, 4, 4, 4)
+        np.testing.assert_allclose(np.asarray(s[..., :3]), 0.0)
+        np.testing.assert_allclose(np.asarray(s[..., 3]), 0.1)
+        s2 = preprocess.stack_step(s, f2)
+        np.testing.assert_allclose(np.asarray(s2[..., 2]), 0.1)
+        np.testing.assert_allclose(np.asarray(s2[..., 3]), 0.2)
+
+
+class TestHostEngine:
+    def test_create_observe_step(self):
+        env = HostBatchEnv("toy", batch_size=4, num_threads=2)
+        assert (env.frames_per_obs, env.height, env.width) == (2, 210, 160)
+        assert env.num_actions == 4
+        env.reset(noops=np.array([1, 5, 10, 30]))
+        obs = env.observe()
+        assert obs.shape == (4, 2, 210, 160)
+        assert (obs > 0).any()  # walls + paddle rendered
+        r, d = env.step(np.zeros(4, np.int32))
+        assert r.shape == (4,) and d.shape == (4,)
+        env.close()
+
+    def test_max_frames_cutoff(self):
+        env = HostBatchEnv("toy", batch_size=2, num_threads=1)
+        env.reset(noops=np.array([1, 1]), max_frames=40)  # 40 emulator frames = 10 steps
+        done = np.zeros(2, bool)
+        for t in range(20):
+            _, d = env.step(np.zeros(2, np.int32))
+            done |= d
+            if done.all():
+                break
+        assert done.all() and t <= 11
+        env.close()
+
+    def test_deterministic_given_noops(self):
+        e1 = HostBatchEnv("toy", batch_size=1, num_threads=1)
+        e2 = HostBatchEnv("toy", batch_size=1, num_threads=1)
+        for e in (e1, e2):
+            e.reset(noops=np.array([7]))
+        acts = np.array([1], np.int32)
+        for t in range(50):
+            r1, _ = e1.step(acts)
+            r2, _ = e2.step(acts)
+            assert r1[0] == r2[0]
+        np.testing.assert_array_equal(e1.observe(), e2.observe())
+        e1.close()
+        e2.close()
+
+    def test_final_state_ram(self):
+        env = HostBatchEnv("toy", batch_size=2, num_threads=1)
+        env.reset(noops=np.array([1, 1]))
+        fs = env.final_state()
+        assert fs.shape == (2, 128)
+        assert fs[0, 3] == 3.0  # lives
+        env.close()
+
+    def test_ale_backend_gated(self):
+        with pytest.raises(RuntimeError, match="unavailable"):
+            HostBatchEnv("ale", "frostbite.bin", 1)
+
+
+class TestHostRollout:
+    def test_rollout_with_conv_policy(self):
+        from deep_neuroevolution_tpu.algos.rollout_host import rollout_host_batch
+        from deep_neuroevolution_tpu.envs.atari import AtariEnv
+        from deep_neuroevolution_tpu.models import SmallDQN
+
+        henv = AtariEnv("toy", batch_size=4, num_threads=2)
+        model = SmallDQN(num_actions=henv.num_actions)
+        thetas = jax.vmap(model.init_theta)(jax.random.split(jax.random.PRNGKey(0), 4))
+        act_fn = model.make_batch_act()
+        res = rollout_host_batch(
+            henv, act_fn, (thetas, None), jax.random.PRNGKey(1), timestep_limit=40
+        )
+        assert res.returns.shape == (4,)
+        assert res.bc.shape == (4, 128)
+        lengths = np.asarray(res.lengths)
+        assert np.all(lengths > 0) and np.all(lengths <= 40)
+        henv.close()
+
+    def test_fire_policy_scores_eventually(self):
+        """A policy that always FIREs catches some balls by luck across a
+        batch — validates reward plumbing end to end."""
+        from deep_neuroevolution_tpu.algos.rollout_host import rollout_host_batch
+        from deep_neuroevolution_tpu.envs.atari import AtariEnv
+
+        henv = AtariEnv("toy", batch_size=16, num_threads=2)
+
+        def fire_act(params, obs, keys):
+            return jnp.ones((obs.shape[0],), jnp.int32)
+
+        res = rollout_host_batch(
+            henv, fire_act, None, jax.random.PRNGKey(2), timestep_limit=200
+        )
+        # paddle sits center; some random serves land on it
+        assert float(np.asarray(res.returns).sum()) > 0
+        henv.close()

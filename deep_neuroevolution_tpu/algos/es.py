@@ -262,6 +262,9 @@ class ESTrainer:
         kinit, kref, krun = jax.random.split(key, 3)
 
         self.noise = noise_table or NoiseTable.from_seed()
+        assert self.noise.size > model.num_params, (
+            f"noise table ({self.noise.size}) must exceed num_params ({model.num_params})"
+        )
         theta = model.init_theta(kinit)
         self.cutoff = parse_cutoff(config.episode_cutoff_mode, env.default_timestep_cutoff)
 

@@ -158,6 +158,9 @@ class GATrainer:
         self.model = model
         self.config = config
         self.noise = noise_table or NoiseTable.from_seed()
+        assert self.noise.size > model.num_params, (
+            f"noise table ({self.noise.size}) must exceed num_params ({model.num_params})"
+        )
         self.key = jax.random.PRNGKey(seed)
         self.cutoff = parse_cutoff(config.episode_cutoff_mode, env.default_timestep_cutoff)
         self.state = GAState()
@@ -196,25 +199,55 @@ class GATrainer:
 
     def _eval_chunked(self, thetas, tslimit, episodes_per=1):
         """Evaluate [N, D] thetas, `episodes_per` episodes each, chunked by
-        eval_batch. Returns returns [N, episodes_per], lengths likewise."""
+        eval_batch (device envs) or the engine slot count (host envs).
+        Returns returns [N, episodes_per], lengths likewise."""
         cfg = self.config
         N = thetas.shape[0]
         if episodes_per > 1:
             thetas = jnp.repeat(thetas, episodes_per, axis=0)
         total = thetas.shape[0]
-        chunk = cfg.eval_batch or total
+        is_host = getattr(self.env, "is_host_env", False)
+        chunk = self.env.batch_size if is_host else (cfg.eval_batch or total)
         rets, lens = [], []
         for s in range(0, total, chunk):
             part = thetas[s : s + chunk]
-            keys = jax.random.split(self._next_key(), part.shape[0])
-            r, l = _eval_thetas(
-                self.env, self.model, part, keys, jnp.asarray(tslimit, jnp.int32), None, self.ref_batch
-            )
+            if is_host:
+                r, l = self._eval_host(part, tslimit)
+            else:
+                keys = jax.random.split(self._next_key(), part.shape[0])
+                r, l = _eval_thetas(
+                    self.env, self.model, part, keys, jnp.asarray(tslimit, jnp.int32), None, self.ref_batch
+                )
             rets.append(np.asarray(r))
             lens.append(np.asarray(l))
         rets = np.concatenate(rets).reshape(N, episodes_per)
         lens = np.concatenate(lens).reshape(N, episodes_per)
         return rets, lens
+
+    def _eval_host(self, thetas, tslimit):
+        """One host-engine round: pad the theta chunk to the slot count,
+        rollout, drop the padding."""
+        from .rollout_host import rollout_host_batch
+
+        n = thetas.shape[0]
+        B = self.env.batch_size
+        if n < B:
+            pad = jnp.broadcast_to(thetas[-1:], (B - n,) + thetas.shape[1:])
+            thetas = jnp.concatenate([thetas, pad])
+        if self.model.needs_ref_batch:
+            stats = self.model.batch_ref_stats(thetas, self.ref_batch)
+            params = (thetas, stats)
+        else:
+            params = (thetas, None)
+        res = rollout_host_batch(
+            self.env,
+            self.model.make_batch_act(),
+            params,
+            self._next_key(),
+            int(tslimit),
+            out_hw=self.env.warp_size,
+        )
+        return res.returns[:n], res.lengths[:n]
 
     # ------------------------------------------------------------ generation
 

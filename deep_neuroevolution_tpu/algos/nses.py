@@ -139,6 +139,9 @@ class NSESTrainer:
         self.config = config
         self.optimizer = optimizer or optim.Adam(stepsize=0.01)
         self.noise = noise_table or NoiseTable.from_seed()
+        assert self.noise.size > model.num_params, (
+            f"noise table ({self.noise.size}) must exceed num_params ({model.num_params})"
+        )
         self.key = jax.random.PRNGKey(seed)
         self.cutoff = parse_cutoff(config.episode_cutoff_mode, env.default_timestep_cutoff)
         self.archive = novelty.archive_init(config.archive_capacity, env.bc_dim)

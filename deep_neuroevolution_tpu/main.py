@@ -1,0 +1,107 @@
+"""CLI entry point — the L6 analog of both reference launchers.
+
+Reference surfaces:
+* CPU stack: `python -m es_distributed.main master --algo es --exp_file c.json`
+  + a `workers` subcommand per machine (es_distributed/main.py:42-86). The
+  master/worker split is Redis plumbing; on TPU one SPMD program does both,
+  so the single subcommand is `train`.
+* GPU stack: `python es.py configurations/es_atari_config.json`
+  (gpu_implementation/es.py:290-293) — covered by the same `train` command
+  (the schema is auto-detected) and by `python -m deep_neuroevolution_tpu.train cfg.json`.
+
+Examples:
+  python -m deep_neuroevolution_tpu.main train --exp_file configurations/es_maze.json \
+      --log_dir /tmp/es_maze --iterations 50
+  python -m deep_neuroevolution_tpu.main train --exp_str '{...}' --algo ga
+  python -m deep_neuroevolution_tpu.main replay --snapshot snap.pkl --env maze
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def cmd_train(args) -> int:
+    from .utils import checkpoint, config, tabular as tlogger
+
+    if args.exp_file:
+        with open(args.exp_file) as f:
+            exp = json.load(f)
+    else:
+        exp = json.loads(args.exp_str)
+
+    if args.log_dir:
+        os.makedirs(args.log_dir, exist_ok=True)
+        tlogger.start(args.log_dir)
+    tlogger.log(f"experiment: {json.dumps(exp, sort_keys=True)}")
+
+    overrides = json.loads(args.overrides) if args.overrides else {}
+    trainer = config.load_experiment(exp, algo=args.algo, seed=args.seed, overrides=overrides)
+
+    snap_path = os.path.join(args.log_dir, "snapshot.pkl") if args.log_dir else None
+    if snap_path and os.path.exists(snap_path) and not args.no_resume:
+        tlogger.log(f"resuming from {snap_path}")
+        checkpoint.load_trainer(snap_path, trainer)
+
+    it = 0
+    while args.iterations == 0 or it < args.iterations:
+        trainer.train_step()
+        it += 1
+        if snap_path and args.snapshot_freq and it % args.snapshot_freq == 0:
+            checkpoint.save_trainer(snap_path, trainer)
+            tlogger.log(f"saved snapshot to {snap_path}")
+    if snap_path:
+        checkpoint.save_trainer(snap_path, trainer)
+    return 0
+
+
+def cmd_replay(args) -> int:
+    from .utils.viz import replay_snapshot
+
+    stats = replay_snapshot(
+        args.snapshot,
+        env_id=args.env,
+        episodes=args.episodes,
+        save_frames=args.save_frames,
+        seed=args.seed,
+    )
+    print(json.dumps(stats))
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="deep_neuroevolution_tpu")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    t = sub.add_parser("train", help="run a training experiment (either reference JSON schema)")
+    t.add_argument("--exp_file", help="experiment JSON path (main.py:48-57 --exp_file)")
+    t.add_argument("--exp_str", help="experiment JSON inline (--exp_str)")
+    t.add_argument("--algo", choices=["es", "ga", "rs", "nses"], help="override algorithm (main.py:29-40)")
+    t.add_argument("--log_dir", default="", help="tabular/JSONL logs + snapshots")
+    t.add_argument("--iterations", type=int, default=0, help="generations to run (0 = until budget)")
+    t.add_argument("--snapshot_freq", type=int, default=10)
+    t.add_argument("--no_resume", action="store_true")
+    t.add_argument("--seed", type=int, default=0)
+    t.add_argument("--overrides", help='engine knobs JSON, e.g. \'{"eval_batch": 64, "noise_size": 1000000}\'')
+    t.set_defaults(fn=cmd_train)
+
+    r = sub.add_parser("replay", help="roll out a policy snapshot (scripts/viz.py analog)")
+    r.add_argument("--snapshot", required=True)
+    r.add_argument("--env", default=None, help="env id override")
+    r.add_argument("--episodes", type=int, default=1)
+    r.add_argument("--save_frames", default="", help="write frames/trajectory .npz here")
+    r.add_argument("--seed", type=int, default=0)
+    r.set_defaults(fn=cmd_replay)
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -22,6 +22,7 @@ REGISTRY = {
     "LargeDQN": LargeDQNXavier,
     "LinearClassifier": LinearClassifier,
     "SimpleClassifier": SimpleClassifier,
+    "ContinuousMLP": ContinuousMLP,
     # cpu stack policy names (es_distributed/policies.py)
     "MujocoPolicy": MujocoMLP,
     "GAAtariPolicy": SmallDQN,

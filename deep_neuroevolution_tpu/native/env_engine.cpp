@@ -64,10 +64,11 @@ class ThreadPool {
         jobs_.push([&, n] {
           int i;
           while ((i = next.fetch_add(1)) < n) fn(i);
-          {
-            std::lock_guard<std::mutex> dlk(done_mu);
-            done.fetch_add(1);
-          }
+          // notify UNDER the lock: the waiter owns these locals and may
+          // destroy them the moment it observes done==shards, so the last
+          // touch must happen before the mutex is released
+          std::lock_guard<std::mutex> dlk(done_mu);
+          done.fetch_add(1);
           done_cv.notify_one();
         });
       }
@@ -130,6 +131,7 @@ class ToyCatch : public Backend {
     s.paddle_x = W / 2;
     s.ball_live = false;
     s.game_over = false;
+    s.idle_frames = 0;
     s.max_frames = max_frames;
     std::memset(s.prev, 0, sizeof(s.prev));
     std::memset(s.cur, 0, sizeof(s.cur));
@@ -188,6 +190,7 @@ class ToyCatch : public Backend {
     int frame = 0, noop_frames = 0, max_frames = 100000;
     int paddle_x = W / 2;
     int ball_x = 0, ball_y = 0, ball_vx = 0;
+    int idle_frames = 0;
     bool ball_live = false, game_over = false;
     int lives = 3, score_events = 0;
   };
@@ -198,11 +201,17 @@ class ToyCatch : public Backend {
     s.frame++;
     if (action == 2) s.paddle_x = s.paddle_x + 4 > W - 9 ? W - 9 : s.paddle_x + 4;
     if (action == 3) s.paddle_x = s.paddle_x - 4 < 8 ? 8 : s.paddle_x - 4;
-    if (!s.ball_live && action == 1) {  // FIRE serves the ball
-      s.ball_live = true;
-      s.ball_x = 8 + (int)(s.rng() % (W - 16));
-      s.ball_y = 20;
-      s.ball_vx = (int)(s.rng() % 3) - 1;
+    if (!s.ball_live) {
+      s.idle_frames++;
+      // FIRE serves; after 60 idle frames the game auto-serves (like ALE
+      // games that restart play by themselves) so episodes always terminate
+      if (action == 1 || s.idle_frames > 60) {
+        s.ball_live = true;
+        s.idle_frames = 0;
+        s.ball_x = 8 + (int)(s.rng() % (W - 16));
+        s.ball_y = 20;
+        s.ball_vx = (int)(s.rng() % 3) - 1;
+      }
     }
     if (s.ball_live) {
       s.ball_y += 2;

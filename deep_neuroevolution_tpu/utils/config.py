@@ -1,0 +1,225 @@
+"""Experiment configuration: loads BOTH reference JSON schemas.
+
+* CPU-stack schema (es_distributed, §5.6): {"config": {...Config fields,
+  es.py:12-16}, "env_id", "policy": {"type", "args"}, "optimizer":
+  {"type", "args"}, GA extras "population_size"/"num_elites"
+  (ga.py:66-67), NS extras "algo_type"/"novelty_search" (nses.py:63-71)}.
+  Algo is chosen by the reference CLI flag --algo (main.py:29-40); here it
+  may ride in the JSON as "algo" or be passed explicitly.
+* GPU-stack schema (gpu_implementation/configurations/*.json): flat kwargs —
+  "game", "model", "population_size", "timesteps", "episode_cutoff_mode",
+  "mutation_power", GA ladder fields, optional "optimizer" (ES).
+
+`load_experiment` normalizes either into (env, model, trainer), resolving
+env ids: 'FooNoFrameskip-v4'/'<game>' → Atari host engine (ALE or toy),
+'CartPole-*' → device cartpole, 'maze' → device Hard Maze; MuJoCo ids raise
+a clear gating error (MuJoCo is not bundled; see README).
+"""
+
+from __future__ import annotations
+
+import json
+import re
+from typing import Any, Dict, Optional, Tuple
+
+from .. import envs, models
+from ..envs.core import Continuous, Discrete
+from ..ops import optim
+
+
+def _camel_to_snake(name: str) -> str:
+    return re.sub(r"(?<!^)(?=[A-Z])", "_", name).lower()
+
+
+def resolve_env(env_id: str, **kwargs):
+    """Map reference env ids onto our env registry."""
+    m = re.fullmatch(r"([A-Za-z0-9]+)NoFrameskip-v\d+", env_id)
+    if m:  # Atari, CPU-stack naming (ga.py:14: endswith('NoFrameskip-v4'))
+        game = _camel_to_snake(m.group(1))
+        return envs.make(game if _atari_available() else "toy", **kwargs)
+    if env_id.startswith("gym."):
+        return envs.make(env_id, **kwargs)
+    if env_id in ("maze", "toy"):
+        return envs.make(env_id, **kwargs)
+    if env_id.split("-")[0] in ("CartPole",):
+        return envs.make("gym." + env_id, **kwargs)
+    if env_id.split("-")[0] in ("Humanoid", "HalfCheetah", "Hopper", "Walker2d", "Ant", "Swimmer"):
+        raise RuntimeError(
+            f"{env_id} needs MuJoCo, which is not bundled in this environment. "
+            "The MujocoPolicy/MLP stack is fully implemented; plug in any "
+            "continuous-control env implementing the Env protocol (see "
+            "envs/maze.py for a template)."
+        )
+    # fall back to the atari game-name registry ('frostbite' etc.)
+    return envs.make(env_id, **kwargs)
+
+
+def _atari_available() -> bool:
+    from ..envs import atari
+
+    return atari.is_available()
+
+
+def build_model(policy_type: str, args: Dict[str, Any], env) -> models.Model:
+    """Instantiate a model for an env from reference policy/model names."""
+    cls = models.get_model(policy_type)
+    if cls is models.MujocoMLP:
+        space = env.action_space
+        assert isinstance(space, Continuous)
+        return models.MujocoMLP(
+            obs_dim=env.obs_shape[0],
+            ac_dim=space.dim,
+            ac_low=tuple(space.low) if space.low else tuple([-1.0] * space.dim),
+            ac_high=tuple(space.high) if space.high else tuple([1.0] * space.dim),
+            **{
+                k: (tuple(v) if k == "hidden_dims" else v)
+                for k, v in args.items()
+                if k != "init_from"
+            },
+        )
+    if cls is models.ContinuousMLP:
+        space = env.action_space
+        assert isinstance(space, Continuous)
+        return models.ContinuousMLP(obs_dim=env.obs_shape[0], ac_dim=space.dim, **args)
+    num_actions = (
+        env.action_space.n if isinstance(getattr(env, "action_space", None), Discrete) else env.num_actions
+    )
+    kwargs = {}
+    if "nonlin_type" in args:
+        kwargs["nonlin_type"] = args["nonlin_type"]
+    if "ac_init_std" in args:  # GAAtariPolicy (policies.py:436)
+        kwargs["out_std"] = args["ac_init_std"]
+    if hasattr(cls, "__dataclass_fields__") and "obs_dim" in cls.__dataclass_fields__:
+        import numpy as np
+
+        return cls(obs_dim=int(np.prod(env.obs_shape)), num_actions=num_actions, **kwargs)
+    return cls(num_actions=num_actions, **kwargs)
+
+
+def load_experiment(
+    exp: Dict[str, Any],
+    algo: Optional[str] = None,
+    seed: int = 0,
+    overrides: Optional[Dict[str, Any]] = None,
+):
+    """exp dict (either schema) → ready trainer. `overrides` patches engine
+    knobs (eval_batch, num_eval_episodes, batch_size, noise table size...)."""
+    from ..algos.es import ESConfig, ESTrainer
+    from ..algos.ga import GAConfig, GATrainer, RSTrainer
+    from ..algos.nses import NSESConfig, NSESTrainer
+    from ..ops.noise import NoiseTable
+
+    overrides = overrides or {}
+    env_kwargs = overrides.get("env_kwargs", {})
+    noise_table = None
+    if "noise_size" in overrides:
+        noise_table = NoiseTable.from_seed(count=overrides["noise_size"])
+
+    if "game" in exp:  # ---------------- GPU schema
+        env = resolve_env(exp["game"], **env_kwargs)
+        model = build_model(exp["model"], {}, env)
+        algo = algo or ("ga" if "selection_threshold" in exp else "es")
+        if algo == "es":
+            opt_cfg = exp.get("optimizer", {"type": "adam", "args": {"stepsize": 0.01}})
+            cfg = ESConfig(
+                l2coeff=exp.get("l2coeff", 0.005),
+                noise_stdev=exp.get("mutation_power", 0.02),
+                population_size=int(exp["population_size"]),
+                return_proc_mode=exp.get("return_proc_mode", "centered_rank"),
+                episode_cutoff_mode=exp.get("episode_cutoff_mode", "env_default"),
+                **{k: overrides[k] for k in ("eval_batch", "num_eval_episodes", "grad_chunk") if k in overrides},
+            )
+            return ESTrainer(
+                env,
+                model,
+                cfg,
+                optimizer=optim.make_optimizer(opt_cfg["type"], **opt_cfg["args"]),
+                noise_table=noise_table,
+                seed=seed,
+            )
+        cfg = GAConfig(
+            population_size=int(exp["population_size"]),
+            selection_threshold=int(exp.get("selection_threshold", 0)),
+            validation_threshold=int(exp.get("validation_threshold", 10)),
+            num_validation_episodes=int(exp.get("num_validation_episodes", 30)),
+            num_test_episodes=int(exp.get("num_test_episodes", 200)),
+            mutation_power=exp.get("mutation_power", 0.002),
+            episode_cutoff_mode=exp.get("episode_cutoff_mode", "env_default"),
+            timesteps=float(exp.get("timesteps", 1e9)),
+            **{k: overrides[k] for k in ("eval_batch",) if k in overrides},
+        )
+        ctor = RSTrainer if algo == "rs" else GATrainer
+        return ctor(env, model, cfg, noise_table=noise_table, seed=seed)
+
+    # -------------------------------------- CPU schema
+    c = exp["config"]
+    env = resolve_env(exp["env_id"], **env_kwargs)
+    model = build_model(exp["policy"]["type"], exp["policy"].get("args", {}), env)
+    algo = algo or exp.get("algo") or ("nses" if "novelty_search" in exp else "es")
+    opt_cfg = exp.get("optimizer", {"type": "adam", "args": {"stepsize": 0.01}})
+
+    if algo in ("es",):
+        cfg = ESConfig(
+            l2coeff=c.get("l2coeff", 0.005),
+            noise_stdev=c.get("noise_stdev", 0.02),
+            episodes_per_batch=int(c.get("episodes_per_batch", 0)),
+            timesteps_per_batch=int(c.get("timesteps_per_batch", 0)),
+            calc_obstat_prob=c.get("calc_obstat_prob", 0.0),
+            eval_prob=c.get("eval_prob", 0.0),
+            snapshot_freq=int(c.get("snapshot_freq", 0)),
+            return_proc_mode=c.get("return_proc_mode", "centered_rank"),
+            episode_cutoff_mode=c.get("episode_cutoff_mode", "env_default"),
+            **{k: overrides[k] for k in ("eval_batch", "num_eval_episodes", "grad_chunk") if k in overrides},
+        )
+        return ESTrainer(
+            env,
+            model,
+            cfg,
+            optimizer=optim.make_optimizer(opt_cfg["type"], **opt_cfg["args"]),
+            noise_table=noise_table,
+            seed=seed,
+        )
+    if algo in ("ga", "rs"):
+        cfg = GAConfig(
+            population_size=int(exp.get("population_size", 1000)),
+            num_elites=int(exp.get("num_elites", 1)),
+            selection_threshold=int(exp.get("selection_threshold", 20)),
+            mutation_power=c.get("noise_stdev", 0.002),
+            noise_stdev=c.get("noise_stdev", 0.002),
+            genome_style="cpu",
+            episode_cutoff_mode=c.get("episode_cutoff_mode", "env_default"),
+            validation_threshold=int(exp.get("validation_threshold", 0)),
+            num_validation_episodes=int(exp.get("num_validation_episodes", 0)),
+            num_test_episodes=int(exp.get("num_test_episodes", 0)),
+            **{k: overrides[k] for k in ("eval_batch",) if k in overrides},
+        )
+        ctor = RSTrainer if algo == "rs" else GATrainer
+        return ctor(env, model, cfg, noise_table=noise_table, seed=seed)
+    if algo in ("nses", "ns", "nsr", "nses_nsr"):
+        ns = exp.get("novelty_search", {})
+        cfg = NSESConfig(
+            l2coeff=c.get("l2coeff", 0.005),
+            noise_stdev=c.get("noise_stdev", 0.02),
+            population_size=int(c.get("episodes_per_batch", 128)),
+            return_proc_mode=c.get("return_proc_mode", "centered_sign_rank"),
+            episode_cutoff_mode=c.get("episode_cutoff_mode", "env_default"),
+            algo_type=exp.get("algo_type", "ns"),
+            k=int(ns.get("k", 10)),
+            meta_population_size=int(ns.get("population_size", 3)),
+            num_rollouts=int(ns.get("num_rollouts", 1)),
+            selection_method=ns.get("selection_method", "novelty_prob"),
+        )
+        return NSESTrainer(
+            env,
+            model,
+            cfg,
+            optimizer=optim.make_optimizer(opt_cfg["type"], **opt_cfg["args"]),
+            noise_table=noise_table,
+            seed=seed,
+        )
+    raise ValueError(f"unknown algo {algo!r}")
+
+
+def load_experiment_file(path: str, **kw):
+    with open(path) as f:
+        return load_experiment(json.load(f), **kw)

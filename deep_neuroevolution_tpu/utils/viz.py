@@ -1,0 +1,94 @@
+"""Policy replay / visualization (the scripts/viz.py + display.py analog).
+
+Reference: scripts/viz.py:10-51 loads an h5 snapshot, rebuilds the policy,
+and rolls it out with rendering (optionally recording);
+neuroevolution/display.py:30-89 rebuilds an elite from its seed chain and
+renders. Headless here: rollouts run on device (or the host engine) and
+frames / (x, y) trajectories are written to .npz for offline viewing.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..envs import make as make_env
+from .checkpoint import load_policy_snapshot
+
+
+def replay_snapshot(
+    snapshot_path: str,
+    env_id: Optional[str] = None,
+    episodes: int = 1,
+    save_frames: str = "",
+    seed: int = 0,
+) -> dict:
+    """Roll a policy snapshot for `episodes` episodes; returns summary stats
+    and optionally saves trajectories."""
+    model, theta, payload = load_policy_snapshot(snapshot_path)
+    env_id = env_id or payload["extra"].get("env_id", "maze")
+    env = make_env(env_id)
+    theta = jnp.asarray(theta)
+
+    if getattr(env, "is_host_env", False):
+        from ..algos.rollout_host import rollout_host_batch
+
+        thetas = jnp.broadcast_to(theta, (env.batch_size,) + theta.shape)
+        if model.needs_ref_batch:
+            ref = jnp.asarray(payload["ref_batch"])
+            stats = model.batch_ref_stats(thetas[:1], ref)
+            stats = jax.tree_util.tree_map(
+                lambda x: jnp.broadcast_to(x, (env.batch_size,) + x.shape[1:]), stats
+            )
+            params = (thetas, stats)
+        else:
+            params = (thetas, None)
+        res = rollout_host_batch(
+            env,
+            model.make_batch_act(),
+            params,
+            jax.random.PRNGKey(seed),
+            env.default_timestep_cutoff // 4,
+        )
+        rets = np.asarray(res.returns)[:episodes]
+        lens = np.asarray(res.lengths)[:episodes]
+        traj = None
+    else:
+        from ..algos.rollout import rollout_batch_scan
+
+        keys = jax.random.split(jax.random.PRNGKey(seed), episodes)
+        ctx = None
+        if model.needs_ob_stat and payload.get("ob_stat") is not None:
+            from ..models.mlp import MLPContext
+            from ..ops import obstat as obstat_mod
+
+            st = obstat_mod.RunningStat(*[jnp.asarray(v) for v in payload["ob_stat"]])
+            ctx = MLPContext(obstat_mod.mean(st), obstat_mod.std(st), jnp.asarray(0.0))
+        params = (jnp.broadcast_to(theta, (episodes,) + theta.shape), ctx)
+        res, (bc_traj, alive) = rollout_batch_scan(
+            env,
+            model.make_batch_act(),
+            params,
+            keys,
+            env.default_timestep_cutoff,
+        )
+        rets = np.asarray(res.returns)
+        lens = np.asarray(res.lengths)
+        traj = np.asarray(bc_traj)  # [T, episodes, bc_dim]
+
+    if save_frames:
+        np.savez_compressed(
+            save_frames,
+            returns=rets,
+            lengths=lens,
+            **({"bc_trajectory": traj} if traj is not None else {}),
+        )
+    return {
+        "returns": rets.tolist(),
+        "lengths": lens.tolist(),
+        "return_mean": float(rets.mean()),
+        "length_mean": float(lens.mean()),
+    }

@@ -1,0 +1,196 @@
+"""Config loader, CLI, checkpoint/resume, and replay tests."""
+
+import json
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from deep_neuroevolution_tpu.algos.es import ESTrainer
+from deep_neuroevolution_tpu.algos.ga import GATrainer, RSTrainer
+from deep_neuroevolution_tpu.algos.nses import NSESTrainer
+from deep_neuroevolution_tpu.utils import checkpoint, config, tabular
+
+
+def _silence():
+    tabular._logger._kvs.clear()
+    tabular.dump_tabular = lambda: tabular._logger._kvs.clear()
+
+
+SMALL = {"noise_size": 1_500_000, "eval_batch": 16, "num_eval_episodes": 2}
+
+
+class TestConfigLoader:
+    def test_cpu_schema_es_maze(self):
+        exp = json.load(open("configurations/maze_es.json"))
+        tr = config.load_experiment(exp, overrides=SMALL)
+        assert isinstance(tr, ESTrainer)
+        assert tr.config.noise_stdev == 0.05
+        assert tr.model.num_params > 0
+        assert tr.cutoff.tslimit == 400  # env_default for maze
+
+    def test_cpu_schema_frostbite_es_maps_to_host_env(self):
+        """FrostbiteNoFrameskip-v4 resolves to the Atari host engine (toy
+        backend here — ALE gated) with the ESAtariPolicy → VBN DQN."""
+        exp = json.load(open("configurations/frostbite_es.json"))
+        tr = config.load_experiment(
+            exp,
+            overrides={**SMALL, "noise_size": 1_500_000, "env_kwargs": {"batch_size": 4}},
+        )
+        assert isinstance(tr, ESTrainer)
+        assert tr.is_host_env
+        assert tr.model.needs_ref_batch  # ESAtariPolicy → VirtualBNDQN
+        assert tr.config.episodes_per_batch == 5000
+        assert tr.cutoff.tslimit == 5000
+        tr.env.close()
+
+    def test_gpu_schema_ga(self):
+        exp = json.load(open("configurations/ga_toy_config.json"))
+        tr = config.load_experiment(exp, overrides=SMALL)
+        assert isinstance(tr, GATrainer)
+        assert tr.config.selection_threshold == 8
+        assert tr.config.population_size == 64
+        tr.env.close()
+
+    def test_gpu_schema_es_gym(self):
+        exp = json.load(open("configurations/es_gym_config.json"))
+        tr = config.load_experiment(exp, overrides=SMALL)
+        assert isinstance(tr, ESTrainer)
+        assert not tr.is_host_env  # pure-JAX CartPole
+
+    def test_nses_schema(self):
+        exp = json.load(open("configurations/maze_nses.json"))
+        tr = config.load_experiment(exp, overrides=SMALL)
+        assert isinstance(tr, NSESTrainer)
+        assert tr.config.algo_type == "ns"
+        assert len(tr.parents) == 3
+
+    def test_rs_algo_flag(self):
+        exp = json.load(open("configurations/ga_toy_config.json"))
+        tr = config.load_experiment(exp, algo="rs", overrides=SMALL)
+        assert isinstance(tr, RSTrainer)
+        tr.env.close()
+
+    def test_mujoco_gated_with_clear_error(self):
+        exp = json.load(open("configurations/humanoid.json"))
+        with pytest.raises(RuntimeError, match="MuJoCo"):
+            config.load_experiment(exp, overrides=SMALL)
+
+
+class TestCheckpointResume:
+    def test_es_roundtrip(self, tmp_path):
+        _silence()
+        exp = json.load(open("configurations/maze_es.json"))
+        over = {**SMALL, "num_eval_episodes": 0}
+        tr = config.load_experiment(exp, overrides=over)
+        tr.config.population_size = 32
+        tr.train_step()
+        path = str(tmp_path / "snap.pkl")
+        checkpoint.save_trainer(path, tr)
+
+        tr2 = config.load_experiment(exp, overrides=over)
+        tr2.config.population_size = 32
+        checkpoint.load_trainer(path, tr2)
+        assert tr2.state.iteration == 1
+        np.testing.assert_array_equal(np.asarray(tr2.state.theta), np.asarray(tr.state.theta))
+        np.testing.assert_array_equal(
+            np.asarray(tr2.state.opt_state.m), np.asarray(tr.state.opt_state.m)
+        )
+        # resumed trainer continues deterministically vs the original
+        s_a = tr.train_step()
+        s_b = tr2.train_step()
+        np.testing.assert_allclose(s_a.returns, s_b.returns, rtol=1e-5)
+
+    def test_ga_roundtrip(self, tmp_path):
+        _silence()
+        exp = json.load(open("configurations/ga_toy_config.json"))
+        # SmallDQN has ~1.0M params — the table must be at least that big
+        over = {**SMALL, "noise_size": 1_500_000, "env_kwargs": {"batch_size": 8}}
+        tr = config.load_experiment(exp, overrides=over)
+        tr.config.population_size = 8
+        tr.config.num_test_episodes = 2
+        tr.config.num_validation_episodes = 2
+        tr.cutoff = tr.cutoff._replace(tslimit=20)
+        tr.train_step()
+        path = str(tmp_path / "snap.pkl")
+        checkpoint.save_trainer(path, tr)
+        tr.env.close()
+
+        tr2 = config.load_experiment(exp, overrides=over)
+        checkpoint.load_trainer(path, tr2)
+        assert tr2.state.it == 1
+        assert tr2.cached_parent_seeds == tr.cached_parent_seeds
+        assert [o.seeds for o in tr2.state.population] == [o.seeds for o in tr.state.population]
+        tr2.env.close()
+
+    def test_policy_snapshot_roundtrip(self, tmp_path):
+        from deep_neuroevolution_tpu.models import ContinuousMLP
+
+        model = ContinuousMLP(obs_dim=11, ac_dim=2, hidden=8)
+        import jax
+
+        theta = model.init_theta(jax.random.PRNGKey(0))
+        path = str(tmp_path / "policy.pkl")
+        checkpoint.save_policy_snapshot(path, model, theta, extra={"env_id": "maze"})
+        model2, theta2, payload = checkpoint.load_policy_snapshot(path)
+        assert type(model2).__name__ == "ContinuousMLP"
+        assert model2.hidden == 8
+        np.testing.assert_array_equal(theta2, np.asarray(theta))
+
+    def test_replay_tool(self, tmp_path):
+        from deep_neuroevolution_tpu.models import ContinuousMLP
+        from deep_neuroevolution_tpu.utils.viz import replay_snapshot
+        import jax
+
+        model = ContinuousMLP(obs_dim=11, ac_dim=2, hidden=8)
+        theta = model.init_theta(jax.random.PRNGKey(0))
+        path = str(tmp_path / "policy.pkl")
+        checkpoint.save_policy_snapshot(path, model, theta, extra={"env_id": "maze"})
+        out = str(tmp_path / "traj.npz")
+        stats = replay_snapshot(path, episodes=2, save_frames=out)
+        assert len(stats["returns"]) == 2
+        data = np.load(out)
+        assert data["bc_trajectory"].shape == (400, 2, 2)
+
+
+class TestCLI:
+    def test_train_command_end_to_end(self, tmp_path):
+        """Drive the real CLI: 2 ES generations on the maze + resume."""
+        env = {
+            "PALLAS_AXON_POOL_IPS": "",
+            "JAX_PLATFORMS": "cpu",
+            "PATH": "/usr/bin:/bin:/usr/local/bin",
+        }
+        import os
+
+        env = {**os.environ, **env}
+        env.pop("PALLAS_AXON_POOL_IPS", None)
+        log = str(tmp_path / "log")
+        cmd = [
+            sys.executable,
+            "-m",
+            "deep_neuroevolution_tpu.main",
+            "train",
+            "--exp_file",
+            "configurations/maze_es.json",
+            "--log_dir",
+            log,
+            "--iterations",
+            "2",
+            "--snapshot_freq",
+            "1",
+            "--overrides",
+            json.dumps({"noise_size": 300000, "eval_batch": 8, "num_eval_episodes": 2}),
+        ]
+        p = subprocess.run(cmd, capture_output=True, text=True, cwd="/root/repo", env=env, timeout=300)
+        assert p.returncode == 0, p.stderr[-2000:]
+        assert "EpRewMean" in p.stdout
+        assert (tmp_path / "log" / "snapshot.pkl").exists()
+        assert (tmp_path / "log" / "metrics.jsonl").exists()
+        # resume path
+        p2 = subprocess.run(
+            cmd[:11] + ["1"] + cmd[12:], capture_output=True, text=True, cwd="/root/repo", env=env, timeout=300
+        )
+        assert p2.returncode == 0, p2.stderr[-2000:]
+        assert "resuming from" in p2.stdout

@@ -71,6 +71,7 @@ class ESConfig:
     eval_batch: int = 0  # antithetic pairs evaluated per device round
     num_eval_episodes: int = 8  # noiseless eval episodes per generation
     grad_chunk: int = 256  # streaming chunk for the gradient gather-matmul
+    vine_snapshot_dir: str = ""  # per-generation BC cloud dumps (es_modified.py)
 
 
 class CutoffState(NamedTuple):
@@ -160,7 +161,11 @@ def _eval_perturbed_round(
         params = (thetas, ctx)
     act_fn = model.make_batch_act()
 
-    keys = jax.random.split(kroll, npairs)
+    # per-rollout integer policy seeds → reconstructible episode keys; the
+    # deterministic-replay hook of the VINE-instrumented variants
+    # (es_modified.py policy_seed recorded per rollout)
+    ep_seeds = jax.random.randint(kroll, (npairs,), 0, 2**31 - 1, dtype=jnp.int32)
+    keys = jax.vmap(lambda s: jax.random.PRNGKey(s.astype(jnp.uint32)))(ep_seeds)
     keys2 = jnp.concatenate([keys, keys])  # pos/neg share episode randomness
     res = rollout_batch(env, act_fn, params, keys2, tslimit, True)
 
@@ -173,6 +178,8 @@ def _eval_perturbed_round(
         res.ob_sum,
         res.ob_sumsq,
         res.ob_count,
+        pair(res.bc),  # [n, 2, bc_dim]
+        ep_seeds,
     )
 
 
@@ -196,7 +203,7 @@ def _eval_theta(
     else:
         params = (thetas, ctx)
     res = rollout_batch(env, model.make_batch_act(), params, jax.random.split(key, nepisodes), tslimit)
-    return res.returns, res.lengths
+    return res.returns, res.lengths, res.bc
 
 
 @partial(jax.jit, static_argnums=(4, 6, 7, 8))
@@ -331,6 +338,7 @@ class ESTrainer:
             collect_obstat=self.model.needs_ob_stat and cfg.calc_obstat_prob > 0,
         )
         pair = lambda x: jnp.stack([x[:npairs], x[npairs : 2 * npairs]], axis=1)
+        ep_seeds = jax.random.randint(key, (npairs,), 0, 2**31 - 1, dtype=jnp.int32)
         return (
             idxs,
             pair(res.returns),
@@ -339,6 +347,8 @@ class ESTrainer:
             res.ob_sum,
             res.ob_sumsq,
             res.ob_count,
+            pair(res.bc),
+            ep_seeds,
         )
 
     def _host_eval(self, theta, key, ctx):
@@ -362,7 +372,7 @@ class ESTrainer:
             int(self.cutoff.tslimit),
             out_hw=self.env.warp_size,
         )
-        return res.returns[:n], res.lengths[:n]
+        return res.returns[:n], res.lengths[:n], res.bc[:n]
 
     # ----------------------------------------------------------- generation
 
@@ -377,6 +387,7 @@ class ESTrainer:
         key = s.key
         ctx = self._model_ctx()
         all_idxs, all_rets, all_srets, all_lens = [], [], [], []
+        all_bcs, all_seeds = [], []
         ob_sum = np.zeros(self.env.obs_shape, np.float32)
         ob_sumsq = np.zeros(self.env.obs_shape, np.float32)
         ob_count = 0.0
@@ -387,11 +398,11 @@ class ESTrainer:
         while True:
             key, kround = jax.random.split(key)
             if self.is_host_env:
-                idxs, rets, srets, lens, osum, osumsq, ocount = self._host_round(
+                idxs, rets, srets, lens, osum, osumsq, ocount, bcs, eseeds = self._host_round(
                     s.theta, kround, npairs_round, ctx
                 )
             else:
-                idxs, rets, srets, lens, osum, osumsq, ocount = _eval_perturbed_round(
+                idxs, rets, srets, lens, osum, osumsq, ocount, bcs, eseeds = _eval_perturbed_round(
                     self.env,
                     self.model,
                     s.theta,
@@ -407,6 +418,8 @@ class ESTrainer:
             all_rets.append(np.asarray(rets))
             all_srets.append(np.asarray(srets))
             all_lens.append(np.asarray(lens))
+            all_bcs.append(np.asarray(bcs))
+            all_seeds.append(np.asarray(eseeds))
             ob_sum += np.asarray(osum)
             ob_sumsq += np.asarray(osumsq)
             ob_count += float(ocount)
@@ -423,14 +436,16 @@ class ESTrainer:
         returns_n2 = np.concatenate(all_rets)
         signreturns_n2 = np.concatenate(all_srets)
         lengths_n2 = np.concatenate(all_lens)
+        bcs_n2 = np.concatenate(all_bcs)
+        ep_seeds_n = np.concatenate(all_seeds)
 
         # eval episodes (noiseless θ)
         key, keval = jax.random.split(key)
         if cfg.num_eval_episodes > 0:
             if self.is_host_env:
-                eval_rets, eval_lens = self._host_eval(s.theta, keval, ctx)
+                eval_rets, eval_lens, eval_bc = self._host_eval(s.theta, keval, ctx)
             else:
-                eval_rets, eval_lens = _eval_theta(
+                eval_rets, eval_lens, eval_bc = _eval_theta(
                     self.env,
                     self.model,
                     s.theta,
@@ -441,8 +456,10 @@ class ESTrainer:
                     self.ref_batch,
                 )
             eval_rets, eval_lens = np.asarray(eval_rets), np.asarray(eval_lens)
+            eval_bc = np.asarray(eval_bc)
         else:
             eval_rets = eval_lens = np.zeros((0,), np.float32)
+            eval_bc = np.zeros((0, getattr(self.env, "bc_dim", 0)), np.float32)
 
         # gradient + optimizer step
         opt_state, theta, ratio, gnorm = _compute_update(
@@ -510,6 +527,30 @@ class ESTrainer:
             "TimestepsPerSecondThisIter", timesteps / max(step_tend - step_tstart, 1e-9)
         )
         tlogger.dump_tabular()
+
+        if cfg.vine_snapshot_dir:
+            from ..utils import vine
+
+            vine.master_extract_cloud(
+                cfg.vine_snapshot_dir,
+                self.state.iteration,
+                bcs_n2,
+                returns_n2,
+                lengths_n2,
+                noise_idxs,
+                ep_seeds_n,
+            )
+            vine.master_extract_parent(
+                cfg.vine_snapshot_dir,
+                self.state.iteration,
+                eval_bc,
+                eval_rets,
+                eval_lens,
+                cfg.noise_stdev,
+                model=self.model,
+                theta=theta,
+                ref_batch=self.ref_batch,
+            )
 
         return GenStats(
             returns_n2, lengths_n2, eval_rets, eval_lens, float(gnorm), float(ratio)

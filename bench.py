@@ -29,7 +29,8 @@ import numpy as np
 REF_CPU_CLUSTER_FPS = 360_000.0  # 720 cores × ~500 steps/s (documented estimate)
 
 POP = 5000  # episodes per generation (frostbite_es.json scale)
-GENS_MEASURED = 3
+GENS_WARMUP = 4  # first invocations pay compile + runtime warm-up
+GENS_MEASURED = 10
 
 
 def main():
@@ -59,13 +60,16 @@ def main():
         res = step(theta, opt_state, table.noise, keys, tslimit, sigma)
         return res
 
-    # warmup / compile
+    # warmup: compile + runtime warm-up
     res = one_gen(theta, opt_state, 0)
     res.theta.block_until_ready()
+    for i in range(1, GENS_WARMUP):
+        res = one_gen(res.theta, res.opt_state, i)
+        res.theta.block_until_ready()
 
     t0 = time.time()
     frames = 0
-    for i in range(1, GENS_MEASURED + 1):
+    for i in range(GENS_WARMUP, GENS_WARMUP + GENS_MEASURED):
         res = one_gen(res.theta, res.opt_state, i)
         frames += int(np.asarray(res.lengths_n2).sum())
     res.theta.block_until_ready()

@@ -25,7 +25,10 @@ import sys
 
 
 def cmd_train(args) -> int:
+    from .parallel import distributed
     from .utils import checkpoint, config, tabular as tlogger
+
+    distributed.init_multihost()  # no-op single-host; pod coordinator on slices
 
     if args.exp_file:
         with open(args.exp_file) as f:
@@ -33,7 +36,7 @@ def cmd_train(args) -> int:
     else:
         exp = json.loads(args.exp_str)
 
-    if args.log_dir:
+    if args.log_dir and distributed.is_coordinator():
         os.makedirs(args.log_dir, exist_ok=True)
         tlogger.start(args.log_dir)
     tlogger.log(f"experiment: {json.dumps(exp, sort_keys=True)}")
@@ -48,12 +51,25 @@ def cmd_train(args) -> int:
 
     it = 0
     while args.iterations == 0 or it < args.iterations:
-        trainer.train_step()
+        # jax.profiler trace of one generation (SURVEY §5.1: the tracing the
+        # reference never had — view with tensorboard/xprof)
+        if args.profile_dir and it == 2:
+            import jax
+
+            with jax.profiler.trace(args.profile_dir):
+                trainer.train_step()
+        else:
+            trainer.train_step()
         it += 1
-        if snap_path and args.snapshot_freq and it % args.snapshot_freq == 0:
+        if (
+            snap_path
+            and args.snapshot_freq
+            and it % args.snapshot_freq == 0
+            and distributed.is_coordinator()
+        ):
             checkpoint.save_trainer(snap_path, trainer)
             tlogger.log(f"saved snapshot to {snap_path}")
-    if snap_path:
+    if snap_path and distributed.is_coordinator():
         checkpoint.save_trainer(snap_path, trainer)
     return 0
 
@@ -86,6 +102,7 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--no_resume", action="store_true")
     t.add_argument("--seed", type=int, default=0)
     t.add_argument("--overrides", help='engine knobs JSON, e.g. \'{"eval_batch": 64, "noise_size": 1000000}\'')
+    t.add_argument("--profile_dir", default="", help="jax.profiler trace of generation 3 → this dir")
     t.set_defaults(fn=cmd_train)
 
     r = sub.add_parser("replay", help="roll out a policy snapshot (scripts/viz.py analog)")

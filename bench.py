@@ -47,7 +47,10 @@ def main():
     env = MazeEnv()
     model = ContinuousMLP(obs_dim=11, ac_dim=2, hidden=16)
     opt = Adam(stepsize=0.05)
-    step = make_pod_es_step(env, model, opt, mesh, npairs_per_device=npairs_per_device)
+    use_pallas = jax.devices()[0].platform in ("tpu", "axon")
+    step = make_pod_es_step(
+        env, model, opt, mesh, npairs_per_device=npairs_per_device, use_pallas_grad=use_pallas
+    )
 
     table = NoiseTable.from_seed(count=5_000_000)
     theta = model.init_theta(jax.random.PRNGKey(0))

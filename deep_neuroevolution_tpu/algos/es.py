@@ -72,6 +72,8 @@ class ESConfig:
     num_eval_episodes: int = 8  # noiseless eval episodes per generation
     grad_chunk: int = 256  # streaming chunk for the gradient gather-matmul
     vine_snapshot_dir: str = ""  # per-generation BC cloud dumps (es_modified.py)
+    use_pallas_grad: bool = False  # Pallas streamed gradient + 1024-aligned
+    #   noise indices (ops/pallas_kernels.py; ~30x the XLA gather path on TPU)
 
 
 class CutoffState(NamedTuple):
@@ -132,7 +134,7 @@ class GenStats(NamedTuple):
 # --------------------------------------------------------------------------
 
 
-@partial(jax.jit, static_argnums=(0, 1, 7))
+@partial(jax.jit, static_argnums=(0, 1, 7, 10))
 def _eval_perturbed_round(
     env: Env,
     model: Model,
@@ -144,13 +146,21 @@ def _eval_perturbed_round(
     npairs: int,
     ctx=None,
     ref_batch: Optional[jax.Array] = None,
+    aligned: bool = False,
 ):
     """One device round: sample npairs indices, evaluate θ±σε in one lockstep
     batch of 2·npairs slots. Returns per-pair [n,2] stats (pos, neg columns,
     matching Result.returns_n2, es.py:423-426)."""
     dim = theta.shape[0]
     kidx, kroll = jax.random.split(key)
-    idxs = jax.random.randint(kidx, (npairs,), 0, table_noise.shape[0] - dim + 1, dtype=jnp.int32)
+    if aligned:
+        from ..ops.pallas_kernels import sample_aligned_indices
+
+        idxs = sample_aligned_indices(kidx, table_noise.shape[0], dim, npairs)
+    else:
+        idxs = jax.random.randint(
+            kidx, (npairs,), 0, table_noise.shape[0] - dim + 1, dtype=jnp.int32
+        )
     eps = jax.vmap(lambda i: jax.lax.dynamic_slice(table_noise, (i,), (dim,)))(idxs)
     thetas = jnp.concatenate([theta[None] + sigma * eps, theta[None] - sigma * eps])  # [2n, D]
 
@@ -206,7 +216,7 @@ def _eval_theta(
     return res.returns, res.lengths, res.bc
 
 
-@partial(jax.jit, static_argnums=(4, 6, 7, 8))
+@partial(jax.jit, static_argnums=(4, 6, 7, 8, 9))
 def _compute_update(
     theta: jax.Array,
     opt_state,
@@ -217,6 +227,7 @@ def _compute_update(
     optimizer: optim.Adam,
     l2coeff: float,
     grad_chunk: int = 256,
+    use_pallas: bool = False,
 ):
     """Rank transform → streamed gradient → L2 → optimizer step
     (es.py:281-301). Hashable statics: mode string, optimizer, chunk."""
@@ -224,7 +235,12 @@ def _compute_update(
     proc = fitness.process_returns(returns_n2, signreturns_n2, return_proc_mode)
     w = proc[:, 0] - proc[:, 1]
     dim = theta.shape[0]
-    g = fitness.gradient_from_noise(table_noise, noise_idxs, w, dim, grad_chunk)
+    if use_pallas:
+        from ..ops.pallas_kernels import gradient_from_noise_pallas
+
+        g = gradient_from_noise_pallas(table_noise, noise_idxs, w, dim)
+    else:
+        g = fitness.gradient_from_noise(table_noise, noise_idxs, w, dim, grad_chunk)
     g = g / (returns_n2.size)  # es.py:296 g /= returns_n2.size
     opt_state, new_theta, ratio = optimizer.update(opt_state, theta, -g + l2coeff * theta)
     return opt_state, new_theta, ratio, jnp.sum(jnp.square(g))
@@ -413,6 +429,7 @@ class ESTrainer:
                     npairs_round,
                     ctx,
                     self.ref_batch,
+                    cfg.use_pallas_grad,
                 )
             all_idxs.append(np.asarray(idxs))
             all_rets.append(np.asarray(rets))
@@ -472,6 +489,7 @@ class ESTrainer:
             self.optimizer,
             cfg.l2coeff,
             cfg.grad_chunk,
+            cfg.use_pallas_grad,
         )
 
         # obs stats (es.py:246-248 increment path)

@@ -84,9 +84,15 @@ class NoiseTable:
         """Uniform over valid offsets [0, size-dim] inclusive (es.py:66-67)."""
         return jax.random.randint(key, (), 0, self.size - dim + 1, dtype=jnp.int32)
 
-    @partial(jax.jit, static_argnums=(2, 3))
-    def sample_index_batch(self, key: jax.Array, dim: int, n: int) -> jax.Array:
-        return jax.random.randint(key, (n,), 0, self.size - dim + 1, dtype=jnp.int32)
+    @partial(jax.jit, static_argnums=(2, 3, 4))
+    def sample_index_batch(self, key: jax.Array, dim: int, n: int, align: int = 1) -> jax.Array:
+        """Batch of start offsets; `align` > 1 quantizes offsets to that
+        granule (required by the Pallas gradient kernel — see
+        ops/pallas_kernels.py alignment contract)."""
+        if align <= 1:
+            return jax.random.randint(key, (n,), 0, self.size - dim + 1, dtype=jnp.int32)
+        hi = (self.size - dim) // align + 1
+        return jax.random.randint(key, (n,), 0, hi, dtype=jnp.int32) * align
 
 
 @jax.tree_util.register_pytree_node_class

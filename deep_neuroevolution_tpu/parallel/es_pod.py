@@ -54,6 +54,7 @@ def make_pod_es_step(
     l2coeff: float = 0.005,
     grad_chunk: int = 128,
     has_ref_batch: bool = False,
+    use_pallas_grad: bool = False,
 ):
     """Build the jitted multi-chip generation step.
 
@@ -69,9 +70,14 @@ def make_pod_es_step(
 
     def local_eval(theta, table, key, tslimit, sigma, ctx, ref_batch):
         kidx, kroll = jax.random.split(key)
-        idxs = jax.random.randint(
-            kidx, (npairs_per_device,), 0, table.shape[0] - dim + 1, dtype=jnp.int32
-        )
+        if use_pallas_grad:
+            from ..ops.pallas_kernels import sample_aligned_indices
+
+            idxs = sample_aligned_indices(kidx, table.shape[0], dim, npairs_per_device)
+        else:
+            idxs = jax.random.randint(
+                kidx, (npairs_per_device,), 0, table.shape[0] - dim + 1, dtype=jnp.int32
+            )
         eps = jax.vmap(lambda i: jax.lax.dynamic_slice(table, (i,), (dim,)))(idxs)
         thetas = jnp.concatenate([theta[None] + sigma * eps, theta[None] - sigma * eps])
         if has_ref_batch:
@@ -117,7 +123,12 @@ def make_pod_es_step(
         my = jax.lax.axis_index(POP_AXIS)
         w_local = jax.lax.dynamic_slice_in_dim(w_all, my * npairs_per_device, npairs_per_device)
 
-        g_local = fitness.gradient_from_noise(table, idxs, w_local, dim, grad_chunk)
+        if use_pallas_grad:
+            from ..ops.pallas_kernels import gradient_from_noise_pallas
+
+            g_local = gradient_from_noise_pallas(table, idxs, w_local, dim)
+        else:
+            g_local = fitness.gradient_from_noise(table, idxs, w_local, dim, grad_chunk)
         g = jax.lax.psum(g_local, POP_AXIS) / (npairs_global * 2)  # es.py:296
 
         opt_state2, theta2, ratio = optimizer.update(opt_state, theta, -g + l2coeff * theta)

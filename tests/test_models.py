@@ -1,0 +1,154 @@
+"""Model-layer tests: MujocoMLP action modes, VBN stats, DQN shapes,
+population vmap equivalence (the IndexedBatchMatMul replacement)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from deep_neuroevolution_tpu.models import (
+    LargeDQN,
+    MLPContext,
+    MujocoMLP,
+    SmallDQN,
+    default_context,
+)
+from deep_neuroevolution_tpu.models.batchnorm import VBN_EPS, VirtualBNDQN
+
+
+class TestMujocoMLP:
+    def _mk(self, ac_bins, ac_dim=3):
+        return MujocoMLP(
+            obs_dim=5,
+            ac_dim=ac_dim,
+            ac_low=tuple([-2.0] * ac_dim),
+            ac_high=tuple([2.0] * ac_dim),
+            ac_bins=ac_bins,
+            hidden_dims=(16, 16),
+            ac_noise_std=0.0,
+        )
+
+    def test_continuous_mode(self):
+        m = self._mk("continuous:")
+        theta = m.init_theta(jax.random.PRNGKey(0))
+        a = m.act(theta, jnp.ones(5), ctx=default_context(5))
+        assert a.shape == (3,)
+        # normc(0.01) out layer → near-zero actions at init
+        assert np.abs(np.asarray(a)).max() < 0.5
+
+    def test_uniform_bins_snap_to_grid(self):
+        m = self._mk("uniform:11")
+        theta = m.init_theta(jax.random.PRNGKey(1))
+        a = np.asarray(m.act(theta, jnp.ones(5), ctx=default_context(5)))
+        grid = np.linspace(-2.0, 2.0, 11)
+        for v in a:
+            assert np.min(np.abs(grid - v)) < 1e-5
+
+    def test_custom_bins(self):
+        m = self._mk("custom:-1,0,1")
+        theta = m.init_theta(jax.random.PRNGKey(2))
+        a = np.asarray(m.act(theta, jnp.ones(5), ctx=default_context(5)))
+        # values rescaled from [-1,1] to [-2,2] → outputs in {-2, 0, 2}
+        for v in a:
+            assert np.min(np.abs(np.array([-2.0, 0.0, 2.0]) - v)) < 1e-5
+
+    def test_obs_normalization_clips(self):
+        m = self._mk("continuous:")
+        theta = m.init_theta(jax.random.PRNGKey(3))
+        ctx = MLPContext(jnp.zeros(5), jnp.full(5, 0.001), jnp.asarray(0.0))
+        # huge normalized obs get clipped to ±5, so outputs stay finite/bounded
+        a1 = m.act(theta, jnp.full(5, 1e6), ctx=ctx)
+        a2 = m.act(theta, jnp.full(5, 1e12), ctx=ctx)
+        np.testing.assert_allclose(np.asarray(a1), np.asarray(a2), rtol=1e-6)
+
+    def test_action_noise_gated_by_ctx(self):
+        m = MujocoMLP(
+            obs_dim=5, ac_dim=2, ac_low=(-1.0, -1.0), ac_high=(1.0, 1.0),
+            ac_bins="continuous:", ac_noise_std=0.1, hidden_dims=(8,),
+        )
+        theta = m.init_theta(jax.random.PRNGKey(4))
+        key = jax.random.PRNGKey(5)
+        off = MLPContext(jnp.zeros(5), jnp.ones(5), jnp.asarray(0.0))
+        on = MLPContext(jnp.zeros(5), jnp.ones(5), jnp.asarray(1.0))
+        a_off = m.act(theta, jnp.ones(5), key, off)
+        a_off2 = m.act(theta, jnp.ones(5), jax.random.PRNGKey(99), off)
+        a_on = m.act(theta, jnp.ones(5), key, on)
+        np.testing.assert_allclose(np.asarray(a_off), np.asarray(a_off2), atol=1e-7)
+        assert not np.allclose(np.asarray(a_off), np.asarray(a_on))
+
+    def test_reference_humanoid_shape(self):
+        """256×256 tanh MLP (humanoid.json policy args) — param count sanity:
+        (376·256+256) + (256·256+256) + (256·17+17) for Humanoid-v1 dims."""
+        m = MujocoMLP(
+            obs_dim=376, ac_dim=17, ac_low=tuple([-0.4] * 17), ac_high=tuple([0.4] * 17),
+            ac_bins="continuous:", hidden_dims=(256, 256), nonlin_type="tanh",
+        )
+        expect = 376 * 256 + 256 + 256 * 256 + 256 + 256 * 17 + 17
+        assert m.num_params == expect
+
+
+class TestDQN:
+    def test_param_counts(self):
+        small = SmallDQN(num_actions=18)
+        # conv1 8·8·4·16 + 16; conv2 4·4·16·32 + 32; fc 11·11·32·256 + 256; out 256·18+18
+        expect = (8 * 8 * 4 * 16 + 16) + (4 * 4 * 16 * 32 + 32) + (11 * 11 * 32 * 256 + 256) + (256 * 18 + 18)
+        assert small.num_params == expect
+        large = LargeDQN(num_actions=18)
+        assert large.num_params > small.num_params
+
+    def test_act_shape_and_range(self):
+        m = SmallDQN(num_actions=6)
+        theta = m.init_theta(jax.random.PRNGKey(0))
+        obs = jax.random.uniform(jax.random.PRNGKey(1), (84, 84, 4))
+        a = int(m.act(theta, obs))
+        assert 0 <= a < 6
+
+    def test_population_vmap_matches_loop(self):
+        """vmapped per-member forward == per-member loop — the correctness
+        contract of the IndexedBatchMatMul replacement (base.py:54-99)."""
+        m = SmallDQN(num_actions=4)
+        thetas = jax.vmap(m.init_theta)(jax.random.split(jax.random.PRNGKey(2), 3))
+        obs = jax.random.uniform(jax.random.PRNGKey(3), (3, 84, 84, 4))
+        batched = jax.vmap(lambda th, o: m.scores(th, o))(thetas, obs)
+        for i in range(3):
+            single = m.scores(thetas[i], obs[i])
+            np.testing.assert_allclose(np.asarray(batched[i]), np.asarray(single), rtol=1e-5, atol=1e-5)
+
+
+class TestVBN:
+    def test_ref_stats_normalize_ref_batch(self):
+        """With the member's own ref batch, post-BN activations of that batch
+        have ~zero mean and ~unit variance at each layer (decay=0 semantics,
+        policies.py:322 / batchnorm.py:74-77)."""
+        m = VirtualBNDQN(num_actions=4)
+        theta = m.init_theta(jax.random.PRNGKey(0))
+        ref = jax.random.uniform(jax.random.PRNGKey(1), (16, 84, 84, 4))
+        stats = m.ref_stats(theta, ref)
+
+        # recompute first conv pre-activations manually
+        from deep_neuroevolution_tpu.models.core import conv2d
+
+        parts = m.unflatten(theta)
+        h = conv2d({"conv1/w": parts["conv1/w"], "conv1/b": jnp.zeros(16)}, "conv1", ref, 4)
+        xhat = (h - stats.mean[0]) * stats.inv_std[0]
+        mean = np.asarray(jnp.mean(xhat, axis=(0, 1, 2)))
+        var = np.asarray(jnp.var(xhat, axis=(0, 1, 2)))
+        np.testing.assert_allclose(mean, 0.0, atol=1e-4)
+        # inv_std = 1/sqrt(var + eps) → var(xhat) = var/(var+eps) ≈ 1
+        np.testing.assert_allclose(var, 1.0, atol=0.05)
+
+    def test_different_members_different_stats(self):
+        m = VirtualBNDQN(num_actions=4)
+        thetas = jax.vmap(m.init_theta)(jax.random.split(jax.random.PRNGKey(2), 2))
+        ref = jax.random.uniform(jax.random.PRNGKey(3), (8, 84, 84, 4))
+        stats = m.batch_ref_stats(thetas, ref)
+        assert not np.allclose(np.asarray(stats.mean[0][0]), np.asarray(stats.mean[0][1]))
+
+    def test_act_requires_stats(self):
+        m = VirtualBNDQN(num_actions=4)
+        theta = m.init_theta(jax.random.PRNGKey(4))
+        obs = jnp.zeros((84, 84, 4))
+        try:
+            m.act(theta, obs, None, None)
+            assert False, "expected assertion"
+        except AssertionError:
+            pass

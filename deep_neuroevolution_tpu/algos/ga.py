@@ -63,6 +63,7 @@ class GAConfig:
     eval_batch: int = 0  # rollout chunk; 0 → population_size
     genome_style: str = "gpu"  # 'gpu' (idx,power) | 'cpu' (reinit + global stdev)
     noise_stdev: float = 0.002  # CPU-style chain mutation stdev (frostbite_ga.json)
+    vine_snapshot_dir: str = ""  # per-generation BC cloud dumps (ga_modified.py:22-64)
 
 
 class Offspring(NamedTuple):
@@ -137,7 +138,7 @@ def _eval_thetas(
     else:
         params = (thetas, ctx)
     res = rollout_batch(env, model.make_batch_act(), params, keys, tslimit)
-    return res.returns, res.lengths
+    return res.returns, res.lengths, res.bc
 
 
 # --------------------------------------------------------------------------
@@ -208,21 +209,23 @@ class GATrainer:
         total = thetas.shape[0]
         is_host = getattr(self.env, "is_host_env", False)
         chunk = self.env.batch_size if is_host else (cfg.eval_batch or total)
-        rets, lens = [], []
+        rets, lens, bcs = [], [], []
         for s in range(0, total, chunk):
             part = thetas[s : s + chunk]
             if is_host:
-                r, l = self._eval_host(part, tslimit)
+                r, l, bc = self._eval_host(part, tslimit)
             else:
                 keys = jax.random.split(self._next_key(), part.shape[0])
-                r, l = _eval_thetas(
+                r, l, bc = _eval_thetas(
                     self.env, self.model, part, keys, jnp.asarray(tslimit, jnp.int32), None, self.ref_batch
                 )
             rets.append(np.asarray(r))
             lens.append(np.asarray(l))
+            bcs.append(np.asarray(bc))
         rets = np.concatenate(rets).reshape(N, episodes_per)
         lens = np.concatenate(lens).reshape(N, episodes_per)
-        return rets, lens
+        bcs = np.concatenate(bcs).reshape((N, episodes_per) + bcs[0].shape[1:])
+        return rets, lens, bcs
 
     def _eval_host(self, thetas, tslimit):
         """One host-engine round: pad the theta chunk to the slot count,
@@ -247,7 +250,7 @@ class GATrainer:
             int(tslimit),
             out_hw=self.env.warp_size,
         )
-        return res.returns[:n], res.lengths[:n]
+        return res.returns[:n], res.lengths[:n], res.bc[:n]
 
     # ------------------------------------------------------------ generation
 
@@ -281,9 +284,10 @@ class GATrainer:
             ]
 
         # ---- fitness: one episode per offspring (gpu ga.py:166-168)
-        rets, lens = self._eval_chunked(thetas, self.cutoff.tslimit, 1)
+        rets, lens, bcs = self._eval_chunked(thetas, self.cutoff.tslimit, 1)
         rewards = rets[:, 0]
         lengths = lens[:, 0]
+        bcs0 = bcs[:, 0]
         population_timesteps = int(lengths.sum())
 
         results = [Offspring(chains[i], float(rewards[i]), int(lengths[i])) for i in range(n)]
@@ -308,7 +312,7 @@ class GATrainer:
         val_timesteps = 0
         if cfg.validation_threshold > 0 and cfg.num_validation_episodes > 0:
             vthetas = jnp.stack([self._lookup_theta(o.seeds, thetas, chains) for o in validation_population])
-            vrets, vlens = self._eval_chunked(
+            vrets, vlens, _ = self._eval_chunked(
                 vthetas, self.cutoff.tslimit, cfg.num_validation_episodes
             )
             population_validation = vrets.mean(axis=1)
@@ -317,7 +321,7 @@ class GATrainer:
             st.elite = validation_population[elite_idx]
             # ---- elite test episodes
             etheta = self._lookup_theta(st.elite.seeds, thetas, chains)[None]
-            trets, tlens = self._eval_chunked(
+            trets, tlens, tbcs = self._eval_chunked(
                 etheta, self.env.default_timestep_cutoff, cfg.num_test_episodes
             )
             elite_test_mean = float(trets.mean())
@@ -383,6 +387,37 @@ class GATrainer:
         tlogger.record_tabular("TimeElapsedThisIter", dt)
         tlogger.record_tabular("TimeElapsed", st.time_elapsed)
         tlogger.dump_tabular()
+
+        if cfg.vine_snapshot_dir:
+            # ga_modified.py:22-64 master_extract_cloud_ga analog: one row per
+            # offspring (sign column fixed at 1; GA has no antithetic pairs)
+            from ..utils import vine
+
+            midx = np.array(
+                [c[-1][0] if len(c) > 1 and isinstance(c[-1], tuple) else c[0] for c in chains]
+            )
+            off_rewards = rewards[-len(chains):]  # skip any elite carry-over rows
+            vine.master_extract_cloud(
+                cfg.vine_snapshot_dir,
+                st.it,
+                np.stack([bcs0, bcs0], axis=1),  # duplicated column: GA has no antithetic pairs
+                np.stack([off_rewards, off_rewards], axis=1),
+                np.stack([lengths, lengths], axis=1),
+                midx,
+                np.zeros(len(chains), np.int64),
+            )
+            if population_validation.size:
+                vine.master_extract_parent(
+                    cfg.vine_snapshot_dir,
+                    st.it,
+                    tbcs[0],
+                    trets[0],
+                    tlens[0],
+                    float(power),
+                    model=self.model,
+                    theta=np.asarray(self._lookup_theta(st.elite.seeds, thetas, chains)),
+                    ref_batch=self.ref_batch,
+                )
 
         return st
 

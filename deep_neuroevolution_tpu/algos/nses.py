@@ -134,6 +134,7 @@ class NSESTrainer:
         seed: int = 0,
     ):
         assert env.bc_dim > 0, "NS-ES needs an env with a behavior characterization"
+        self.is_host_env = getattr(env, "is_host_env", False)
         self.env = env
         self.model = model
         self.config = config
@@ -147,9 +148,14 @@ class NSESTrainer:
         self.archive = novelty.archive_init(config.archive_capacity, env.bc_dim)
         self.ref_batch = None
         if model.needs_ref_batch:
-            from .rollout import collect_ref_batch
+            if self.is_host_env:
+                from .rollout_host import collect_ref_batch_host
 
-            self.ref_batch = collect_ref_batch(env, self._next_key(), batch_size=128)
+                self.ref_batch = collect_ref_batch_host(env, self._next_key(), batch_size=128)
+            else:
+                from .rollout import collect_ref_batch
+
+                self.ref_batch = collect_ref_batch(env, self._next_key(), batch_size=128)
 
         # meta-population init: fresh θ per parent, archive seeded with each
         # parent's mean BC (nses.py:95-117)
@@ -160,16 +166,7 @@ class NSESTrainer:
                 theta, self.optimizer.init(model.num_params), obstat.init(env.obs_shape, 1e-2)
             )
             self.parents.append(parent)
-            bc = _mean_bc(
-                env,
-                model,
-                theta,
-                self._next_key(),
-                jnp.asarray(self.cutoff.tslimit_max, jnp.int32),
-                config.num_rollouts,
-                self._ctx(parent),
-                self.ref_batch,
-            )
+            bc = self._mean_bc_dispatch(theta, self._next_key(), self._ctx(parent))
             self.archive = novelty.archive_add(self.archive, bc)
 
         self.curr_parent = 0
@@ -191,6 +188,61 @@ class NSESTrainer:
             )
         return None
 
+    # ------------------------------------------------------- host-env paths
+
+    def _host_perturbed_eval(self, theta, key, npairs, ctx):
+        """Host-engine analog of _perturbed_eval_with_bc: BC = final RAM
+        state (tf_atari.cpp:114-119; the CPU stack's per-step RAM trajectory
+        BC, policies.py:410-418, reduces to the final state here)."""
+        from .es import _make_antithetic
+        from .rollout_host import rollout_host_batch
+
+        cfg = self.config
+        npairs = min(npairs, self.env.batch_size // 2)
+        idxs, thetas = _make_antithetic(
+            theta, self.noise.noise, key, npairs, jnp.asarray(cfg.noise_stdev, jnp.float32)
+        )
+        if self.model.needs_ref_batch:
+            stats = self.model.batch_ref_stats(thetas, self.ref_batch)
+            params = (thetas, stats)
+        else:
+            params = (thetas, ctx)
+        res = rollout_host_batch(
+            self.env, self.model.make_batch_act(), params, key, int(self.cutoff.tslimit),
+            out_hw=self.env.warp_size,
+        )
+        nov = novelty.novelty_vs_archive(self.archive, res.bc[: 2 * npairs], cfg.k)
+        pair = lambda x: jnp.stack([x[:npairs], x[npairs : 2 * npairs]], axis=1)
+        return idxs, pair(res.returns), pair(nov), pair(res.lengths)
+
+    def _host_mean_bc(self, theta, key, ctx):
+        from .rollout_host import rollout_host_batch
+
+        n = min(self.config.num_rollouts, self.env.batch_size)
+        thetas = jnp.broadcast_to(theta, (self.env.batch_size,) + theta.shape)
+        if self.model.needs_ref_batch:
+            stats = self.model.batch_ref_stats(thetas[:1], self.ref_batch)
+            stats = jax.tree_util.tree_map(
+                lambda x: jnp.broadcast_to(x, (self.env.batch_size,) + x.shape[1:]), stats
+            )
+            params = (thetas, stats)
+        else:
+            params = (thetas, ctx)
+        res = rollout_host_batch(
+            self.env, self.model.make_batch_act(), params, key,
+            int(self.cutoff.tslimit_max), out_hw=self.env.warp_size,
+        )
+        return jnp.mean(res.bc[:n], axis=0)
+
+    def _mean_bc_dispatch(self, theta, key, ctx):
+        if self.is_host_env:
+            return self._host_mean_bc(theta, key, ctx)
+        return _mean_bc(
+            self.env, self.model, theta, key,
+            jnp.asarray(self.cutoff.tslimit_max, jnp.int32),
+            self.config.num_rollouts, ctx, self.ref_batch,
+        )
+
     # ------------------------------------------------------------ iteration
 
     def train_step(self):
@@ -200,20 +252,25 @@ class NSESTrainer:
         step_tstart = time.time()
         npairs = max((cfg.population_size or 128) // 2, 1)
 
-        idxs, returns_n2, novelty_n2, lengths_n2 = _perturbed_eval_with_bc(
-            self.env,
-            self.model,
-            parent.theta,
-            self.noise.noise,
-            self._next_key(),
-            jnp.asarray(self.cutoff.tslimit, jnp.int32),
-            npairs,
-            cfg.k,
-            jnp.asarray(cfg.noise_stdev, jnp.float32),
-            self.archive,
-            self._ctx(parent),
-            self.ref_batch,
-        )
+        if self.is_host_env:
+            idxs, returns_n2, novelty_n2, lengths_n2 = self._host_perturbed_eval(
+                parent.theta, self._next_key(), npairs, self._ctx(parent)
+            )
+        else:
+            idxs, returns_n2, novelty_n2, lengths_n2 = _perturbed_eval_with_bc(
+                self.env,
+                self.model,
+                parent.theta,
+                self.noise.noise,
+                self._next_key(),
+                jnp.asarray(self.cutoff.tslimit, jnp.int32),
+                npairs,
+                cfg.k,
+                jnp.asarray(cfg.noise_stdev, jnp.float32),
+                self.archive,
+                self._ctx(parent),
+                self.ref_batch,
+            )
 
         # gradient: novelty in the signreturns slot (nses.py:381-387);
         # NSR averages reward ranks in (nses.py:226-228)
@@ -232,16 +289,7 @@ class NSESTrainer:
         self.parents[p] = Parent(theta, opt_state, parent.ob_stat)
 
         # archive insertion of updated parent's mean BC (nses.py:246-247)
-        new_bc = _mean_bc(
-            self.env,
-            self.model,
-            theta,
-            self._next_key(),
-            jnp.asarray(self.cutoff.tslimit_max, jnp.int32),
-            cfg.num_rollouts,
-            self._ctx(self.parents[p]),
-            self.ref_batch,
-        )
+        new_bc = self._mean_bc_dispatch(theta, self._next_key(), self._ctx(self.parents[p]))
         self.archive = novelty.archive_add(self.archive, new_bc)
 
         lengths_np = np.asarray(lengths_n2)
@@ -255,16 +303,7 @@ class NSESTrainer:
         if cfg.selection_method == "novelty_prob":
             bcs = jnp.stack(
                 [
-                    _mean_bc(
-                        self.env,
-                        self.model,
-                        par.theta,
-                        self._next_key(),
-                        jnp.asarray(self.cutoff.tslimit_max, jnp.int32),
-                        cfg.num_rollouts,
-                        self._ctx(par),
-                        self.ref_batch,
-                    )
+                    self._mean_bc_dispatch(par.theta, self._next_key(), self._ctx(par))
                     for par in self.parents
                 ]
             )

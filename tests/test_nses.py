@@ -118,3 +118,34 @@ class TestNSES:
         tr.train_step()  # updates parent 0
         np.testing.assert_array_equal(np.asarray(tr.parents[1].theta), before[1])
         np.testing.assert_array_equal(np.asarray(tr.parents[2].theta), before[2])
+
+
+class TestNSESHostEnv:
+    def test_nses_on_toy_atari_ram_bc(self):
+        """NS-ES on the host engine: 128-byte RAM behavior characterization
+        (the Atari BC of policies.py:410-418 / tf_atari.cpp:114-119)."""
+        _silence()
+        from deep_neuroevolution_tpu.envs.atari import AtariEnv
+        from deep_neuroevolution_tpu.models import SmallDQN
+
+        env = AtariEnv("toy", batch_size=8, num_threads=2)
+        model = SmallDQN(num_actions=env.num_actions)
+        cfg = NSESConfig(
+            noise_stdev=0.02,
+            population_size=8,
+            algo_type="nsr",
+            k=3,
+            meta_population_size=2,
+            num_rollouts=1,
+            selection_method="round_robin",
+            archive_capacity=64,
+            episode_cutoff_mode=20,
+        )
+        tr = NSESTrainer(env, model, cfg, noise_table=NoiseTable.from_seed(count=1_500_000), seed=0)
+        assert int(tr.archive.count) == 2
+        assert tr.archive.points.shape == (64, 128)
+        out = tr.train_step()
+        assert int(tr.archive.count) == 3
+        assert out["novelty"].shape == (4, 2)
+        assert np.isfinite(out["update_ratio"])
+        env.close()

@@ -91,3 +91,38 @@ class TestPodES:
         shards = [np.asarray(s.data) for s in res.theta.addressable_shards]
         for s in shards[1:]:
             np.testing.assert_array_equal(shards[0], s)
+
+
+class TestPodGA:
+    def test_randomize_and_mutate_rounds(self):
+        import jax
+        import jax.numpy as jnp
+        from deep_neuroevolution_tpu.parallel.ga_pod import make_pod_ga_step
+
+        mesh = make_pop_mesh()
+        env = CartPoleEnv()
+        model = LinearClassifier(obs_dim=4, num_actions=2)
+        table = NoiseTable.from_seed(count=100_000)
+        step = make_pod_ga_step(env, model, mesh, n_per_device=4)
+        scale_by = model.scale_by()
+        keys = jax.random.split(jax.random.PRNGKey(0), 8)
+
+        # generation 0: randomize
+        res = step(None, table.noise, keys, jnp.int32(100), jnp.float32(0.1), scale_by)
+        assert res.returns.shape == (32,)
+        assert res.mutation_idx.shape == (32,)
+
+        # pick top 4 as parents, run a mutation round
+        import numpy as np
+
+        order = np.argsort(-np.asarray(res.returns))[:4]
+        dim = model.num_params
+        parents = jnp.stack(
+            [
+                jnp.asarray(np.asarray(table.noise)[i : i + dim]) * scale_by
+                for i in np.asarray(res.mutation_idx)[order]
+            ]
+        )
+        res2 = step(parents, table.noise, keys, jnp.int32(100), jnp.float32(0.1), scale_by)
+        assert res2.returns.shape == (32,)
+        assert np.asarray(res2.parent_idx).max() < 4

@@ -133,3 +133,33 @@ class TestESIntegration:
         assert os.path.exists(
             str(tmp_path / "snapshots" / "snapshot_gen_0001" / "snapshot_parent_0001.h5")
         )
+
+
+class TestGAVine:
+    def test_ga_writes_vine_snapshots(self, tmp_path):
+        from deep_neuroevolution_tpu.algos.ga import GAConfig, GATrainer
+        from deep_neuroevolution_tpu.envs import MazeEnv
+        from deep_neuroevolution_tpu.models import ContinuousMLP
+        from deep_neuroevolution_tpu.ops import NoiseTable
+        from deep_neuroevolution_tpu.utils import tabular
+
+        tabular.dump_tabular = lambda: tabular._logger._kvs.clear()
+        env = MazeEnv()
+        model = ContinuousMLP(obs_dim=11, ac_dim=2, hidden=8)
+        cfg = GAConfig(
+            population_size=12,
+            selection_threshold=4,
+            validation_threshold=2,
+            num_validation_episodes=2,
+            num_test_episodes=2,
+            mutation_power=0.05,
+            episode_cutoff_mode=40,
+            vine_snapshot_dir=str(tmp_path),
+        )
+        tr = GATrainer(env, model, cfg, noise_table=NoiseTable.from_seed(count=100_000))
+        tr.train_step()
+        assert list_generations(str(tmp_path)) == [1]
+        cloud = load_offspring(str(tmp_path), 1)
+        assert cloud.bc.shape == (24, 2)  # 12 offspring × duplicated sign columns
+        parent = load_parent(str(tmp_path), 1)
+        assert parent.bc.shape == (2,)

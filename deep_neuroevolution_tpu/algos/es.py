@@ -246,6 +246,52 @@ def _compute_update(
     return opt_state, new_theta, ratio, jnp.sum(jnp.square(g))
 
 
+@partial(jax.jit, static_argnums=(0, 1, 7, 9, 10, 11, 13, 15))
+def _fused_generation(
+    env: Env,
+    model: Model,
+    theta: jax.Array,
+    opt_state,
+    table: jax.Array,
+    key: jax.Array,
+    tslimit: jax.Array,
+    npairs: int,
+    sigma: jax.Array,
+    return_proc_mode: str,
+    optimizer: optim.Adam,
+    l2coeff: float,
+    ctx=None,
+    use_pallas: bool = False,
+    ref_batch: Optional[jax.Array] = None,
+    grad_chunk: int = 256,
+):
+    """Whole fixed-population generation — eval round + rank transform +
+    gradient + optimizer step — as ONE compiled computation. This is the
+    single-device twin of parallel/es_pod.py's gen_step; the multi-dispatch
+    trainer path remains for quota mode (variable round counts)."""
+    out = _eval_perturbed_round(
+        env, model, theta, table, key, tslimit, sigma, npairs, ctx, ref_batch,
+        use_pallas,
+    )
+    idxs, rets, srets, lens, osum, osumsq, ocount, bcs, eseeds = out
+    opt_state2, theta2, ratio, gnorm = _compute_update(
+        theta,
+        opt_state,
+        table,
+        idxs,
+        return_proc_mode,
+        (rets, srets),
+        optimizer,
+        l2coeff,
+        grad_chunk,
+        use_pallas,
+    )
+    return (
+        idxs, rets, srets, lens, osum, osumsq, ocount, bcs, eseeds,
+        opt_state2, theta2, ratio, gnorm,
+    )
+
+
 @partial(jax.jit, static_argnums=(3,))
 def _make_antithetic(theta: jax.Array, table: jax.Array, key: jax.Array, npairs: int, sigma):
     """Sample indices and build the ±σε theta batch (worker loop es.py:411-421)."""
@@ -411,7 +457,58 @@ class ESTrainer:
         timesteps = 0
         step_tstart = time.time()
 
-        while True:
+        # fixed-population single-round generations fuse eval+update into one
+        # compiled call (one device dispatch per generation)
+        fused = (
+            not quota_mode
+            and not self.is_host_env
+            and (cfg.population_size or 2 * npairs_round) <= 2 * npairs_round
+        )
+        fused_update = None
+        if fused:
+            key, kround = jax.random.split(key)
+            (
+                idxs, rets, srets, lens, osum, osumsq, ocount, bcs, eseeds,
+                opt_state_new, theta_new, ratio_f, gnorm_f,
+            ) = _fused_generation(
+                self.env,
+                self.model,
+                s.theta,
+                s.opt_state,
+                self.noise.noise,
+                kround,
+                jnp.asarray(self.cutoff.tslimit, jnp.int32),
+                npairs_round,
+                jnp.asarray(cfg.noise_stdev, jnp.float32),
+                cfg.return_proc_mode,
+                self.optimizer,
+                cfg.l2coeff,
+                ctx,
+                cfg.use_pallas_grad,
+                self.ref_batch,
+                cfg.grad_chunk,
+            )
+            # one batched host transfer for all per-gen diagnostics
+            (
+                idxs, rets, srets, lens, osum, osumsq, ocount, bcs, eseeds,
+                ratio_f, gnorm_f,
+            ) = jax.device_get(
+                (idxs, rets, srets, lens, osum, osumsq, ocount, bcs, eseeds, ratio_f, gnorm_f)
+            )
+            all_idxs.append(idxs)
+            all_rets.append(rets)
+            all_srets.append(srets)
+            all_lens.append(lens)
+            all_bcs.append(bcs)
+            all_seeds.append(eseeds)
+            ob_sum += osum
+            ob_sumsq += osumsq
+            ob_count += float(ocount)
+            episodes += 2 * npairs_round
+            timesteps += int(lens.sum())
+            fused_update = (opt_state_new, theta_new, ratio_f, gnorm_f)
+
+        while not fused:
             key, kround = jax.random.split(key)
             if self.is_host_env:
                 idxs, rets, srets, lens, osum, osumsq, ocount, bcs, eseeds = self._host_round(
@@ -478,19 +575,22 @@ class ESTrainer:
             eval_rets = eval_lens = np.zeros((0,), np.float32)
             eval_bc = np.zeros((0, getattr(self.env, "bc_dim", 0)), np.float32)
 
-        # gradient + optimizer step
-        opt_state, theta, ratio, gnorm = _compute_update(
-            s.theta,
-            s.opt_state,
-            self.noise.noise,
-            jnp.asarray(noise_idxs),
-            cfg.return_proc_mode,
-            (jnp.asarray(returns_n2), jnp.asarray(signreturns_n2)),
-            self.optimizer,
-            cfg.l2coeff,
-            cfg.grad_chunk,
-            cfg.use_pallas_grad,
-        )
+        # gradient + optimizer step (already folded in on the fused path)
+        if fused_update is not None:
+            opt_state, theta, ratio, gnorm = fused_update
+        else:
+            opt_state, theta, ratio, gnorm = _compute_update(
+                s.theta,
+                s.opt_state,
+                self.noise.noise,
+                jnp.asarray(noise_idxs),
+                cfg.return_proc_mode,
+                (jnp.asarray(returns_n2), jnp.asarray(signreturns_n2)),
+                self.optimizer,
+                cfg.l2coeff,
+                cfg.grad_chunk,
+                cfg.use_pallas_grad,
+            )
 
         # obs stats (es.py:246-248 increment path)
         ob_stat = s.ob_stat

@@ -89,8 +89,14 @@ def rollout_host_batch(
     t = 0
     while not done.all() and t < timestep_limit:
         acts = np.asarray(actions_dev)
-        # host: step simulators (engine already frameskips ×4)
-        r, d = henv.step(acts)
+        # host: step only the still-running simulators — the lockstep analog
+        # of the reference's dynamic slot recycling (concurrent_worker.py:93-102)
+        alive_idx = np.nonzero(~done)[0].astype(np.int32)
+        r_sub, d_sub = henv.step(acts[alive_idx], indices=alive_idx)
+        r = np.zeros(B, np.float32)
+        d = np.zeros(B, bool)
+        r[alive_idx] = r_sub
+        d[alive_idx] = d_sub
         frames = henv.observe()
         # device: fold new frames into the stack and pick next actions —
         # dispatched async, overlapping the next host step's bookkeeping

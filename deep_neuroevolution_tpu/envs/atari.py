@@ -96,8 +96,8 @@ class AtariEnv:
     def reset(self, indices=None, noops=None, max_frames: int = DEFAULT_TIMESTEP_CUTOFF):
         self._env.reset(indices=indices, noops=noops, max_frames=max_frames)
 
-    def step(self, actions: np.ndarray):
-        return self._env.step(actions)
+    def step(self, actions: np.ndarray, indices=None):
+        return self._env.step(actions, indices=indices)
 
     def observe(self) -> np.ndarray:
         return self._env.observe()

@@ -60,7 +60,22 @@ def ensure_built() -> Path:
     return out
 
 
+def build_stress(tsan: bool = True) -> Path:
+    """Build the TSAN concurrency stress binary (engine_stress_test.cpp)."""
+    out = SRC_DIR / ("stress_tsan" if tsan else "stress")
+    cmd = ["g++", "-O1", "-g", "-std=c++17", "-pthread", "-Wall"]
+    if tsan:
+        cmd.append("-fsanitize=thread")
+    cmd += [str(SRC_DIR / "env_engine.cpp"), str(SRC_DIR / "engine_stress_test.cpp"), "-o", str(out)]
+    subprocess.run(cmd, check=True)
+    return out
+
+
 if __name__ == "__main__":
+    if "--stress" in sys.argv:
+        binary = build_stress(tsan="--no-tsan" not in sys.argv)
+        print(binary)
+        sys.exit(subprocess.run([str(binary)]).returncode)
     ale = None
     if "--with-ale" in sys.argv:
         ale = sys.argv[sys.argv.index("--with-ale") + 1]

@@ -159,13 +159,21 @@ def load_experiment(
     opt_cfg = exp.get("optimizer", {"type": "adam", "args": {"stepsize": 0.01}})
 
     if algo in ("es",):
+        # eval_prob → deterministic eval budget: the reference's workers run
+        # noiseless evals with prob eval_prob (es.py:388-405); here the same
+        # expected episode count is scheduled explicitly per generation
+        eval_prob = c.get("eval_prob", 0.0)
+        epb = int(c.get("episodes_per_batch", 0))
+        default_evals = max(1, int(eval_prob * epb)) if eval_prob > 0 and epb else 8
+        if "num_eval_episodes" not in overrides:
+            overrides = {**overrides, "num_eval_episodes": default_evals}
         cfg = ESConfig(
             l2coeff=c.get("l2coeff", 0.005),
             noise_stdev=c.get("noise_stdev", 0.02),
             episodes_per_batch=int(c.get("episodes_per_batch", 0)),
             timesteps_per_batch=int(c.get("timesteps_per_batch", 0)),
             calc_obstat_prob=c.get("calc_obstat_prob", 0.0),
-            eval_prob=c.get("eval_prob", 0.0),
+            eval_prob=eval_prob,
             snapshot_freq=int(c.get("snapshot_freq", 0)),
             return_proc_mode=c.get("return_proc_mode", "centered_rank"),
             episode_cutoff_mode=c.get("episode_cutoff_mode", "env_default"),

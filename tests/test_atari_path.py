@@ -146,3 +146,23 @@ class TestHostRollout:
         # paddle sits center; some random serves land on it
         assert float(np.asarray(res.returns).sum()) > 0
         henv.close()
+
+
+class TestNativeConcurrency:
+    def test_tsan_stress(self):
+        """Build + run the engine concurrency stress binary under
+        ThreadSanitizer (SURVEY §5.2: the host engine must be TSAN-clean —
+        the reference had no sanitizer coverage)."""
+        import subprocess
+        import sys
+
+        p = subprocess.run(
+            [sys.executable, "-m", "deep_neuroevolution_tpu.native.build", "--stress"],
+            capture_output=True,
+            text=True,
+            cwd="/root/repo",
+            timeout=240,
+        )
+        assert p.returncode == 0, p.stderr[-2000:] + p.stdout[-500:]
+        assert "stress ok" in p.stdout
+        assert "WARNING: ThreadSanitizer" not in p.stderr

@@ -42,6 +42,10 @@ class SmallDQN(Model):
     nonlin_type: str = "relu"
     out_std: float = 0.1  # dqn.py:40 out std; GAAtariPolicy ac_init_std default (policies.py:436)
     scale_style: str = "fan_in"  # genome scaling: dqn.py:26-28
+    # 'bfloat16' halves the per-member weight HBM traffic (the bandwidth
+    # bottleneck of population-batched forwards) — θ stays f32; weights are
+    # cast at use. Action = argmax, insensitive to bf16 rounding.
+    compute_dtype: str = "float32"
 
     LAYERS: Tuple[Tuple[str, int, int, int], ...] = (("conv1", 16, 8, 4), ("conv2", 32, 4, 2))
     FC: int = 256
@@ -65,14 +69,17 @@ class SmallDQN(Model):
         return specs
 
     def scores(self, theta, obs, ctx=None):
+        dt = jnp.dtype(self.compute_dtype)
         parts = self.unflatten(theta)
+        if dt != jnp.float32:
+            parts = {k: v.astype(dt) for k, v in parts.items()}
         nonlin = NONLINS[self.nonlin_type]
-        x = obs.astype(jnp.float32)
+        x = obs.astype(dt)
         for name, _, k, s in self.LAYERS:
             x = nonlin(conv2d(parts, name, x, stride=s))
         x = x.reshape(-1)
         x = nonlin(dense(parts, "fc", x))
-        return dense(parts, "out", x)
+        return dense(parts, "out", x).astype(jnp.float32)
 
     def act(self, theta, obs, key=None, ctx=None):
         return jnp.argmax(self.scores(theta, obs, ctx))

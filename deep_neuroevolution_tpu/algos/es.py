@@ -360,14 +360,18 @@ class ESTrainer:
 
     # ------------------------------------------------------------------ ctx
 
-    def _model_ctx(self):
+    def _model_ctx(self, noisy: bool = False):
+        """Model context for rollouts. `noisy=True` enables ac_noise_std —
+        the reference's training rollouts act with a random_stream
+        (es.py:415-421 pass rs → policies.py:202-206 adds noise) while eval
+        rollouts don't (es.py:393)."""
         if self.model.needs_ob_stat:
             from ..models.mlp import MLPContext
 
             return MLPContext(
                 obstat.mean(self.state.ob_stat),
                 obstat.std(self.state.ob_stat),
-                jnp.asarray(0.0),  # action noise off for now (ES perturbs weights)
+                jnp.asarray(1.0 if noisy else 0.0),
             )
         return None
 
@@ -378,7 +382,7 @@ class ESTrainer:
         device, rollout via rollout_host_batch. The engine's slot count caps
         the round size (one slot per offspring, like the GPU stack's
         batch_size=64 slots, gpu es.py:148)."""
-        from .rollout_host import rollout_host_batch
+        from .rollout_host import rollout_host
 
         cfg = self.config
         npairs = min(npairs, self.env.batch_size // 2)
@@ -390,13 +394,12 @@ class ESTrainer:
             params = (thetas, stats)
         else:
             params = (thetas, ctx)
-        res = rollout_host_batch(
+        res = rollout_host(
             self.env,
             self.model.make_batch_act(),
             params,
             key,
             int(self.cutoff.tslimit),
-            out_hw=self.env.warp_size,
             collect_obstat=self.model.needs_ob_stat and cfg.calc_obstat_prob > 0,
         )
         pair = lambda x: jnp.stack([x[:npairs], x[npairs : 2 * npairs]], axis=1)
@@ -414,7 +417,7 @@ class ESTrainer:
         )
 
     def _host_eval(self, theta, key, ctx):
-        from .rollout_host import rollout_host_batch
+        from .rollout_host import rollout_host
 
         n = min(self.config.num_eval_episodes, self.env.batch_size)
         thetas = jnp.broadcast_to(theta, (self.env.batch_size,) + theta.shape)
@@ -426,13 +429,12 @@ class ESTrainer:
             params = (thetas, stats)
         else:
             params = (thetas, ctx)
-        res = rollout_host_batch(
+        res = rollout_host(
             self.env,
             self.model.make_batch_act(),
             params,
             key,
             int(self.cutoff.tslimit),
-            out_hw=self.env.warp_size,
         )
         return res.returns[:n], res.lengths[:n], res.bc[:n]
 
@@ -447,7 +449,7 @@ class ESTrainer:
         quota_mode = cfg.episodes_per_batch > 0 or cfg.timesteps_per_batch > 0
 
         key = s.key
-        ctx = self._model_ctx()
+        ctx = self._model_ctx(noisy=True)  # training rollouts: action noise on
         all_idxs, all_rets, all_srets, all_lens = [], [], [], []
         all_bcs, all_seeds = [], []
         ob_sum = np.zeros(self.env.obs_shape, np.float32)
@@ -555,6 +557,7 @@ class ESTrainer:
 
         # eval episodes (noiseless θ)
         key, keval = jax.random.split(key)
+        ctx = self._model_ctx(noisy=False)  # eval: noiseless (es.py:393)
         if cfg.num_eval_episodes > 0:
             if self.is_host_env:
                 eval_rets, eval_lens, eval_bc = self._host_eval(s.theta, keval, ctx)

@@ -230,7 +230,7 @@ class GATrainer:
     def _eval_host(self, thetas, tslimit):
         """One host-engine round: pad the theta chunk to the slot count,
         rollout, drop the padding."""
-        from .rollout_host import rollout_host_batch
+        from .rollout_host import rollout_host
 
         n = thetas.shape[0]
         B = self.env.batch_size
@@ -242,13 +242,12 @@ class GATrainer:
             params = (thetas, stats)
         else:
             params = (thetas, None)
-        res = rollout_host_batch(
+        res = rollout_host(
             self.env,
             self.model.make_batch_act(),
             params,
             self._next_key(),
             int(tslimit),
-            out_hw=self.env.warp_size,
         )
         return res.returns[:n], res.lengths[:n], res.bc[:n]
 

@@ -62,7 +62,7 @@ class Parent(NamedTuple):
 # --------------------------------------------------------------------- jits
 
 
-@partial(jax.jit, static_argnums=(0, 1, 6, 7))
+@partial(jax.jit, static_argnums=(0, 1, 6, 7, 12))
 def _perturbed_eval_with_bc(
     env: Env,
     model: Model,
@@ -76,6 +76,7 @@ def _perturbed_eval_with_bc(
     archive: novelty.Archive,
     ctx=None,
     ref_batch=None,
+    collect_obstat: bool = False,
 ):
     """Antithetic eval where each rollout also yields (BC, novelty)."""
     dim = theta.shape[0]
@@ -89,10 +90,16 @@ def _perturbed_eval_with_bc(
     else:
         params = (thetas, ctx)
     keys = jax.random.split(kroll, npairs)
-    res = rollout_batch(env, model.make_batch_act(), params, jnp.concatenate([keys, keys]), tslimit)
+    res = rollout_batch(
+        env, model.make_batch_act(), params, jnp.concatenate([keys, keys]), tslimit,
+        collect_obstat=collect_obstat,
+    )
     nov = novelty.novelty_vs_archive(archive, res.bc, k)  # [2n]
     pair = lambda x: jnp.stack([x[:npairs], x[npairs:]], axis=1)
-    return idxs, pair(res.returns), pair(nov), pair(res.lengths)
+    return (
+        idxs, pair(res.returns), pair(nov), pair(res.lengths),
+        res.ob_sum, res.ob_sumsq, res.ob_count,
+    )
 
 
 @partial(jax.jit, static_argnums=(0, 1, 5))
@@ -179,12 +186,17 @@ class NSESTrainer:
         self.key, k = jax.random.split(self.key)
         return k
 
-    def _ctx(self, parent: Parent):
+    def _ctx(self, parent: Parent, noisy: bool = False):
+        """`noisy=True` for perturbed training rollouts (nses.py:374-380
+        pass rs → action noise); mean-BC and eval rollouts are noiseless
+        (nses.py:37, 349)."""
         if self.model.needs_ob_stat:
             from ..models.mlp import MLPContext
 
             return MLPContext(
-                obstat.mean(parent.ob_stat), obstat.std(parent.ob_stat), jnp.asarray(0.0)
+                obstat.mean(parent.ob_stat),
+                obstat.std(parent.ob_stat),
+                jnp.asarray(1.0 if noisy else 0.0),
             )
         return None
 
@@ -195,7 +207,7 @@ class NSESTrainer:
         state (tf_atari.cpp:114-119; the CPU stack's per-step RAM trajectory
         BC, policies.py:410-418, reduces to the final state here)."""
         from .es import _make_antithetic
-        from .rollout_host import rollout_host_batch
+        from .rollout_host import rollout_host
 
         cfg = self.config
         npairs = min(npairs, self.env.batch_size // 2)
@@ -207,16 +219,19 @@ class NSESTrainer:
             params = (thetas, stats)
         else:
             params = (thetas, ctx)
-        res = rollout_host_batch(
+        res = rollout_host(
             self.env, self.model.make_batch_act(), params, key, int(self.cutoff.tslimit),
-            out_hw=self.env.warp_size,
+            collect_obstat=self.model.needs_ob_stat and cfg.calc_obstat_prob > 0,
         )
         nov = novelty.novelty_vs_archive(self.archive, res.bc[: 2 * npairs], cfg.k)
         pair = lambda x: jnp.stack([x[:npairs], x[npairs : 2 * npairs]], axis=1)
-        return idxs, pair(res.returns), pair(nov), pair(res.lengths)
+        return (
+            idxs, pair(res.returns), pair(nov), pair(res.lengths),
+            res.ob_sum, res.ob_sumsq, res.ob_count,
+        )
 
     def _host_mean_bc(self, theta, key, ctx):
-        from .rollout_host import rollout_host_batch
+        from .rollout_host import rollout_host
 
         n = min(self.config.num_rollouts, self.env.batch_size)
         thetas = jnp.broadcast_to(theta, (self.env.batch_size,) + theta.shape)
@@ -228,9 +243,9 @@ class NSESTrainer:
             params = (thetas, stats)
         else:
             params = (thetas, ctx)
-        res = rollout_host_batch(
+        res = rollout_host(
             self.env, self.model.make_batch_act(), params, key,
-            int(self.cutoff.tslimit_max), out_hw=self.env.warp_size,
+            int(self.cutoff.tslimit_max),
         )
         return jnp.mean(res.bc[:n], axis=0)
 
@@ -253,23 +268,28 @@ class NSESTrainer:
         npairs = max((cfg.population_size or 128) // 2, 1)
 
         if self.is_host_env:
-            idxs, returns_n2, novelty_n2, lengths_n2 = self._host_perturbed_eval(
-                parent.theta, self._next_key(), npairs, self._ctx(parent)
+            idxs, returns_n2, novelty_n2, lengths_n2, ob_sum, ob_sumsq, ob_count = (
+                self._host_perturbed_eval(
+                    parent.theta, self._next_key(), npairs, self._ctx(parent, noisy=True)
+                )
             )
         else:
-            idxs, returns_n2, novelty_n2, lengths_n2 = _perturbed_eval_with_bc(
-                self.env,
-                self.model,
-                parent.theta,
-                self.noise.noise,
-                self._next_key(),
-                jnp.asarray(self.cutoff.tslimit, jnp.int32),
-                npairs,
-                cfg.k,
-                jnp.asarray(cfg.noise_stdev, jnp.float32),
-                self.archive,
-                self._ctx(parent),
-                self.ref_batch,
+            idxs, returns_n2, novelty_n2, lengths_n2, ob_sum, ob_sumsq, ob_count = (
+                _perturbed_eval_with_bc(
+                    self.env,
+                    self.model,
+                    parent.theta,
+                    self.noise.noise,
+                    self._next_key(),
+                    jnp.asarray(self.cutoff.tslimit, jnp.int32),
+                    npairs,
+                    cfg.k,
+                    jnp.asarray(cfg.noise_stdev, jnp.float32),
+                    self.archive,
+                    self._ctx(parent, noisy=True),
+                    self.ref_batch,
+                    self.model.needs_ob_stat and cfg.calc_obstat_prob > 0,
+                )
             )
 
         # gradient: novelty in the signreturns slot (nses.py:381-387);
@@ -286,7 +306,15 @@ class NSESTrainer:
         opt_state, theta, ratio = self.optimizer.update(
             parent.opt_state, parent.theta, -g + cfg.l2coeff * parent.theta
         )
-        self.parents[p] = Parent(theta, opt_state, parent.ob_stat)
+        # fold this batch's obs stats into the CURRENT parent's RunningStat
+        # (nses.py:197-198 increment, nses.py:291 write-back)
+        ob_stat = parent.ob_stat
+        ob_count_f = float(ob_count)
+        if self.model.needs_ob_stat and cfg.calc_obstat_prob > 0 and ob_count_f > 0:
+            ob_stat = obstat.increment(
+                ob_stat, jnp.asarray(ob_sum), jnp.asarray(ob_sumsq), ob_count_f
+            )
+        self.parents[p] = Parent(theta, opt_state, ob_stat)
 
         # archive insertion of updated parent's mean BC (nses.py:246-247)
         new_bc = self._mean_bc_dispatch(theta, self._next_key(), self._ctx(self.parents[p]))
@@ -332,6 +360,7 @@ class NSESTrainer:
         tlogger.record_tabular("EpisodesSoFar", self.episodes_so_far)
         tlogger.record_tabular("TimestepsThisIter", int(lengths_np.sum()))
         tlogger.record_tabular("TimestepsSoFar", self.timesteps_so_far)
+        tlogger.record_tabular("ObCount", ob_count_f)  # nses.py:281
         tlogger.record_tabular("ArchiveSize", int(self.archive.count))
         tlogger.record_tabular("TimeElapsedThisIter", step_tend - step_tstart)
         tlogger.record_tabular("TimeElapsed", step_tend - self._tstart)

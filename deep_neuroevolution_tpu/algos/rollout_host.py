@@ -129,6 +129,97 @@ def rollout_host_batch(
     )
 
 
+@partial(jax.jit, static_argnums=(0,))
+def _device_act(act_fn: Callable, params, obs: jax.Array, keys: jax.Array):
+    return act_fn(params, obs, keys)
+
+
+def rollout_host_vec(
+    henv,
+    act_fn: Callable,
+    params,
+    key: jax.Array,
+    timestep_limit: int,
+    collect_obstat: bool = False,
+) -> RolloutResult:
+    """Vector-observation host rollout (MuJoCo family): raw [B, obs_dim]
+    observations go straight to the vmapped device forward — no image
+    preprocessing, no frame stack. Episode semantics mirror the reference's
+    MujocoPolicy.rollout (policies.py:258-302): per-step obs → act → step,
+    clamp to min(timestep_limit, env episode cap), obs-stat accumulation
+    over *raw* observations (policies.py:279-281 save_obs collects
+    pre-normalization obs), BC from the env's mass-center tracking."""
+    B = henv.batch_size
+    tslimit = min(int(timestep_limit), getattr(henv, "max_episode_steps", timestep_limit))
+    seed = int(jax.random.randint(key, (), 0, 2**31 - 1))
+    rng = np.random.default_rng(seed)
+    henv.reset(seeds=rng.integers(0, 2**31 - 1, size=B))
+
+    done = np.zeros(B, bool)
+    ret = np.zeros(B, np.float32)
+    sret = np.zeros(B, np.float32)
+    length = np.zeros(B, np.int32)
+    ob_sum = np.zeros(henv.obs_shape, np.float32)
+    ob_sumsq = np.zeros(henv.obs_shape, np.float32)
+    ob_count = 0.0
+
+    keys = jax.random.split(key, B)
+    obs = henv.observe()
+    t = 0
+    while not done.all() and t < tslimit:
+        tkeys = jax.vmap(lambda k: jax.random.fold_in(k, t))(keys)
+        actions = np.asarray(_device_act(act_fn, params, jnp.asarray(obs), tkeys))
+        alive_idx = np.nonzero(~done)[0].astype(np.int32)
+        if collect_obstat:
+            ob_sum += obs[alive_idx].sum(axis=0)
+            ob_sumsq += np.square(obs[alive_idx]).sum(axis=0)
+            ob_count += float(alive_idx.size)
+        r_sub, d_sub = henv.step(actions[alive_idx], indices=alive_idx)
+        alive = ~done
+        ret[alive_idx] += r_sub
+        sret[alive_idx] += np.sign(r_sub)
+        length[alive] += 1
+        done[alive_idx] |= d_sub
+        obs = henv.observe()
+        t += 1
+
+    bc = henv.final_state()
+    return RolloutResult(
+        jnp.asarray(ret),
+        jnp.asarray(sret),
+        jnp.asarray(length),
+        jnp.asarray(bc),
+        jnp.asarray(ob_sum),
+        jnp.asarray(ob_sumsq),
+        jnp.asarray(ob_count, jnp.float32),
+    )
+
+
+def rollout_host(
+    henv,
+    act_fn: Callable,
+    params,
+    key: jax.Array,
+    timestep_limit: int,
+    collect_obstat: bool = False,
+) -> RolloutResult:
+    """Dispatch on the host env's observation kind: 'image' engines
+    (Atari/ALE, preprocess+stack on device) vs 'vector' engines (MuJoCo)."""
+    if getattr(henv, "host_obs", "image") == "vector":
+        return rollout_host_vec(
+            henv, act_fn, params, key, timestep_limit, collect_obstat=collect_obstat
+        )
+    return rollout_host_batch(
+        henv,
+        act_fn,
+        params,
+        key,
+        timestep_limit,
+        out_hw=henv.warp_size,
+        collect_obstat=collect_obstat,
+    )
+
+
 def collect_ref_batch_host(henv, key: jax.Array, batch_size: int = 128, out_hw: int = 84):
     """Random-policy stacked-obs collection for VBN on a host env
     (gym_tensorflow/__init__.py:17-37 get_ref_batch)."""

@@ -43,13 +43,21 @@ def resolve_env(env_id: str, **kwargs):
         return envs.make(env_id, **kwargs)
     if env_id.split("-")[0] in ("CartPole",):
         return envs.make("gym." + env_id, **kwargs)
-    if env_id.split("-")[0] in ("Humanoid", "HalfCheetah", "Hopper", "Walker2d", "Ant", "Swimmer"):
-        raise RuntimeError(
-            f"{env_id} needs MuJoCo, which is not bundled in this environment. "
-            "The MujocoPolicy/MLP stack is fully implemented; plug in any "
-            "continuous-control env implementing the Env protocol (see "
-            "envs/maze.py for a template)."
-        )
+    from ..envs import mujoco
+
+    if env_id.split("-")[0] in mujoco.MUJOCO_FAMILIES:
+        if not mujoco.is_available():
+            raise RuntimeError(
+                f"{env_id} needs MuJoCo/gymnasium, which this environment lacks. "
+                "The MujocoPolicy/MLP stack is fully implemented; plug in any "
+                "continuous-control env implementing the Env protocol."
+            )
+        if env_id.split("-")[0] == "HumanoidTrap":  # NS-ES deceptive world
+            xml = mujoco.deceptive_humanoid_xml()
+            return mujoco.MujocoHostEnv(
+                mujoco.resolve_env_id("Humanoid-v5"), xml_file=xml, **kwargs
+            )
+        return mujoco.MujocoHostEnv(mujoco.resolve_env_id(env_id), **kwargs)
     # fall back to the atari game-name registry ('frostbite' etc.)
     return envs.make(env_id, **kwargs)
 
@@ -170,8 +178,9 @@ def load_experiment(
         cfg = ESConfig(
             l2coeff=c.get("l2coeff", 0.005),
             noise_stdev=c.get("noise_stdev", 0.02),
-            episodes_per_batch=int(c.get("episodes_per_batch", 0)),
-            timesteps_per_batch=int(c.get("timesteps_per_batch", 0)),
+            episodes_per_batch=int(overrides.get("episodes_per_batch", c.get("episodes_per_batch", 0))),
+            timesteps_per_batch=int(overrides.get("timesteps_per_batch", c.get("timesteps_per_batch", 0))),
+            population_size=int(overrides.get("population_size", 0)),
             calc_obstat_prob=c.get("calc_obstat_prob", 0.0),
             eval_prob=eval_prob,
             snapshot_freq=int(c.get("snapshot_freq", 0)),

@@ -72,10 +72,21 @@ class TestConfigLoader:
         assert isinstance(tr, RSTrainer)
         tr.env.close()
 
-    def test_mujoco_gated_with_clear_error(self):
+    def test_mujoco_resolves_when_available(self):
+        """Humanoid workload resolves to the MuJoCo host engine when
+        mujoco/gymnasium are importable (full wiring test in
+        test_mujoco.py); otherwise it gates with a clear error."""
+        from deep_neuroevolution_tpu.envs import mujoco as mj
+
         exp = json.load(open("configurations/humanoid.json"))
-        with pytest.raises(RuntimeError, match="MuJoCo"):
-            config.load_experiment(exp, overrides=SMALL)
+        over = {**SMALL, "env_kwargs": {"batch_size": 2}}
+        if mj.is_available():
+            tr = config.load_experiment(exp, overrides=over)
+            assert getattr(tr.env, "host_obs", None) == "vector"
+            tr.env.close()
+        else:
+            with pytest.raises(RuntimeError, match="MuJoCo"):
+                config.load_experiment(exp, overrides=over)
 
 
 class TestCheckpointResume:

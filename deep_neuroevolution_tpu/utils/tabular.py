@@ -30,11 +30,16 @@ class TabularLogger:
         self._kvs: Dict[str, Any] = {}
         self._text = None
         self._jsonl = None
+        self._tb = None
+        self._step = 0
         self._start = time.time()
         if log_dir:
             os.makedirs(log_dir, exist_ok=True)
             self._text = open(os.path.join(log_dir, "log.txt"), "a")
             self._jsonl = open(os.path.join(log_dir, "metrics.jsonl"), "a")
+            from .tb_events import EventsWriter
+
+            self._tb = EventsWriter(log_dir)
 
     # ------------------------------------------------------------- tabular
 
@@ -69,6 +74,11 @@ class TabularLogger:
             rec["_time"] = time.time()
             self._jsonl.write(json.dumps(rec) + "\n")
             self._jsonl.flush()
+        if self._tb:
+            # one TB scalar event per dump, like the reference's EventsWriter
+            # append (tabular_logger.py:131-153); step = dump ordinal
+            self._step += 1
+            self._tb.write_scalars(self._step, self._kvs)
         self._kvs.clear()
 
     # ------------------------------------------------------------- messages
@@ -103,6 +113,8 @@ class TabularLogger:
             self._text.close()
         if self._jsonl:
             self._jsonl.close()
+        if self._tb:
+            self._tb.close()
 
 
 # module-level singleton API (reference tabular_logger exposes module fns)

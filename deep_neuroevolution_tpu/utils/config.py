@@ -118,7 +118,9 @@ def load_experiment(
     from ..ops.noise import NoiseTable
 
     overrides = overrides or {}
-    env_kwargs = overrides.get("env_kwargs", {})
+    # env construction knobs: experiment-level block (e.g. bc_mode for the
+    # MuJoCo BC choice) patched by run-time overrides (batch_size etc.)
+    env_kwargs = {**exp.get("env_kwargs", {}), **overrides.get("env_kwargs", {})}
     noise_table = None
     if "noise_size" in overrides:
         noise_table = NoiseTable.from_seed(count=overrides["noise_size"])

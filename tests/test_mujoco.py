@@ -197,6 +197,42 @@ class TestHumanoidWorkload:
         assert res.returns.shape == (2,)
         henv.close()
 
+    def test_nses_trap_config_trains_one_step(self):
+        """configurations/humanoid_nses.json — the deceptive-humanoid NS-ES
+        experiment (reference extra/humanoid_maze.xml + README.md:82-84):
+        trap world resolves, NSESTrainer runs a full step, archive grows."""
+        import json
+
+        from deep_neuroevolution_tpu.algos.nses import NSESTrainer
+        from deep_neuroevolution_tpu.utils.config import load_experiment
+
+        with open("configurations/humanoid_nses.json") as f:
+            exp = json.load(f)
+        tr = load_experiment(
+            exp,
+            seed=0,
+            overrides={
+                "env_kwargs": {"batch_size": 4},
+                "episodes_per_batch": 4,
+                "timesteps_per_batch": 1,
+                "noise_size": 400_000,
+                "episode_cutoff_mode": 30,
+            },
+        )
+        assert isinstance(tr, NSESTrainer)
+        assert tr.env.bc_dim == 2  # final mass-center (x, y)
+        import mujoco as mj
+
+        names = [
+            mj.mj_id2name(tr.env._envs[0].unwrapped.model, mj.mjtObj.mjOBJ_GEOM, g)
+            for g in range(tr.env._envs[0].unwrapped.model.ngeom)
+        ]
+        assert "trap_front" in names
+        n0 = int(tr.archive.count)
+        tr.train_step()
+        assert int(tr.archive.count) == n0 + 1  # parent mean-BC inserted
+        tr.env.close()
+
     def test_deceptive_world_builds(self):
         """NS-ES deceptive-humanoid world (reference extra/humanoid_maze.xml
         analog): trap geoms injected, model compiles, env steps."""

@@ -49,6 +49,8 @@ def cmd_train(args) -> int:
         tlogger.log(f"resuming from {snap_path}")
         checkpoint.load_trainer(snap_path, trainer)
 
+    import numpy as np
+
     it = 0
     while args.iterations == 0 or it < args.iterations:
         # jax.profiler trace of one generation (SURVEY §5.1: the tracing the
@@ -57,9 +59,9 @@ def cmd_train(args) -> int:
             import jax
 
             with jax.profiler.trace(args.profile_dir):
-                trainer.train_step()
+                stats = trainer.train_step()
         else:
-            trainer.train_step()
+            stats = trainer.train_step()
         it += 1
         if (
             snap_path
@@ -68,7 +70,16 @@ def cmd_train(args) -> int:
             and distributed.is_coordinator()
         ):
             checkpoint.save_trainer(snap_path, trainer)
-            tlogger.log(f"saved snapshot to {snap_path}")
+            # reference-style policy snapshot with reward in the name
+            # (es.py:345-353); reward = eval mean when evals ran this iter
+            rew = None
+            er = getattr(stats, "eval_returns", None)
+            if er is not None and np.size(er):
+                rew = float(np.mean(np.asarray(er)))
+            elif getattr(stats, "returns", None) is not None and np.size(stats.returns):
+                rew = float(np.mean(np.asarray(stats.returns)))
+            pol_path = checkpoint.save_policy_snapshot_auto(args.log_dir, trainer, it, rew)
+            tlogger.log(f"saved snapshot to {snap_path}" + (f" + {pol_path}" if pol_path else ""))
     if snap_path and distributed.is_coordinator():
         checkpoint.save_trainer(snap_path, trainer)
     return 0
@@ -83,6 +94,7 @@ def cmd_replay(args) -> int:
         episodes=args.episodes,
         save_frames=args.save_frames,
         seed=args.seed,
+        env_kwargs=json.loads(args.env_kwargs) if args.env_kwargs else None,
     )
     print(json.dumps(stats))
     return 0
@@ -111,6 +123,7 @@ def build_parser() -> argparse.ArgumentParser:
     r.add_argument("--episodes", type=int, default=1)
     r.add_argument("--save_frames", default="", help="write frames/trajectory .npz here")
     r.add_argument("--seed", type=int, default=0)
+    r.add_argument("--env_kwargs", help='env ctor JSON, e.g. \'{"batch_size": 4, "bc_mode": "traj"}\'')
     r.set_defaults(fn=cmd_replay)
     return p
 

@@ -79,6 +79,52 @@ def initialize_from(small_snapshot_path: str, big_model) -> np.ndarray:
     return np.asarray(flat.partial_load(big_theta, big_model.specs, jax.device_get(small_parts)))
 
 
+def save_policy_snapshot_auto(log_dir: str, trainer, iteration: int, rew=None):
+    """Periodic reference-style policy snapshot
+    `snapshot_iterNNNNN_rewR` (es.py:345-353; GA/RS write unconditionally,
+    ga.py:197-206). Extracts the current flagship policy from any trainer:
+    ES → θ, NS-ES → current parent, GA/RS → elite (reconstructed from its
+    seed chain). Returns the written path, or None if nothing to save yet."""
+    import numpy as _np
+
+    from ..algos.es import ESTrainer
+    from ..algos.ga import GATrainer
+    from ..algos.nses import NSESTrainer
+
+    theta = ob_stat = ref_batch = None
+    if isinstance(trainer, ESTrainer):
+        theta = trainer.state.theta
+        ob_stat = trainer.state.ob_stat if trainer.model.needs_ob_stat else None
+        ref_batch = trainer.ref_batch
+    elif isinstance(trainer, NSESTrainer):
+        p = trainer.parents[trainer.curr_parent]
+        theta = p.theta
+        ob_stat = p.ob_stat if trainer.model.needs_ob_stat else None
+        ref_batch = trainer.ref_batch
+    elif isinstance(trainer, GATrainer):
+        elite = trainer.state.elite
+        if elite is None:
+            return None
+        theta = trainer._reconstruct(elite.seeds)
+        ref_batch = getattr(trainer, "ref_batch", None)
+        if rew is None:
+            rew = elite.fitness
+    else:
+        raise TypeError(type(trainer))
+
+    rew_str = "NaN" if rew is None or not _np.isfinite(rew) else str(int(_np.round(rew)))
+    path = str(Path(log_dir) / f"snapshot_iter{iteration:05d}_rew{rew_str}.pkl")
+    save_policy_snapshot(
+        path,
+        trainer.model,
+        theta,
+        ob_stat=ob_stat,
+        ref_batch=ref_batch,
+        extra={"env_id": getattr(trainer.env, "env_id", None), "iteration": iteration},
+    )
+    return path
+
+
 # ------------------------------------------------------------ trainer state
 
 

@@ -15,7 +15,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..envs import make as make_env
 from .checkpoint import load_policy_snapshot
 
 
@@ -25,16 +24,19 @@ def replay_snapshot(
     episodes: int = 1,
     save_frames: str = "",
     seed: int = 0,
+    env_kwargs: Optional[dict] = None,
 ) -> dict:
     """Roll a policy snapshot for `episodes` episodes; returns summary stats
     and optionally saves trajectories."""
+    from .config import resolve_env
+
     model, theta, payload = load_policy_snapshot(snapshot_path)
-    env_id = env_id or payload["extra"].get("env_id", "maze")
-    env = make_env(env_id)
+    env_id = env_id or payload["extra"].get("env_id") or "maze"
+    env = resolve_env(env_id, **(env_kwargs or {}))
     theta = jnp.asarray(theta)
 
     if getattr(env, "is_host_env", False):
-        from ..algos.rollout_host import rollout_host_batch
+        from ..algos.rollout_host import rollout_host
 
         thetas = jnp.broadcast_to(theta, (env.batch_size,) + theta.shape)
         if model.needs_ref_batch:
@@ -44,18 +46,27 @@ def replay_snapshot(
                 lambda x: jnp.broadcast_to(x, (env.batch_size,) + x.shape[1:]), stats
             )
             params = (thetas, stats)
+        elif model.needs_ob_stat and payload.get("ob_stat") is not None:
+            from ..models.mlp import MLPContext
+            from ..ops import obstat as obstat_mod
+
+            st = obstat_mod.RunningStat(*[jnp.asarray(v) for v in payload["ob_stat"]])
+            ctx = MLPContext(obstat_mod.mean(st), obstat_mod.std(st), jnp.asarray(0.0))
+            params = (thetas, ctx)
         else:
             params = (thetas, None)
-        res = rollout_host_batch(
+        res = rollout_host(
             env,
             model.make_batch_act(),
             params,
             jax.random.PRNGKey(seed),
-            env.default_timestep_cutoff // 4,
+            env.default_timestep_cutoff,
         )
         rets = np.asarray(res.returns)[:episodes]
         lens = np.asarray(res.lengths)[:episodes]
-        traj = None
+        # vector engines (MuJoCo) expose the BC — for bc_mode='traj' that IS
+        # the x-y trajectory (policies.py:293-299); save it for offline view
+        traj = np.asarray(res.bc)[:episodes]
     else:
         from ..algos.rollout import rollout_batch_scan
 

@@ -199,6 +199,16 @@ class TestCLI:
         assert "EpRewMean" in p.stdout
         assert (tmp_path / "log" / "snapshot.pkl").exists()
         assert (tmp_path / "log" / "metrics.jsonl").exists()
+        # periodic reference-style policy snapshots (es.py:345-353) — one per
+        # snapshot_freq with the eval reward in the name, replayable
+        import glob as _glob
+
+        pols = sorted(_glob.glob(str(tmp_path / "log" / "snapshot_iter*_rew*.pkl")))
+        assert len(pols) == 2, pols
+        from deep_neuroevolution_tpu.utils.viz import replay_snapshot
+
+        stats = replay_snapshot(pols[-1], episodes=1)
+        assert np.isfinite(stats["return_mean"])
         # resume path
         p2 = subprocess.run(
             cmd[:11] + ["1"] + cmd[12:], capture_output=True, text=True, cwd="/root/repo", env=env, timeout=300

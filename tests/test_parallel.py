@@ -93,6 +93,103 @@ class TestPodES:
             np.testing.assert_array_equal(shards[0], s)
 
 
+class TestPodNSES:
+    """Pod NS-ES/NSR-ES (parallel/nses_pod.py) vs host recomputation of the
+    reference master update (nses.py:217-240)."""
+
+    def setup_method(self):
+        from deep_neuroevolution_tpu.envs import MazeEnv
+        from deep_neuroevolution_tpu.models import ContinuousMLP
+        from deep_neuroevolution_tpu.ops import novelty
+        from deep_neuroevolution_tpu.parallel.nses_pod import make_pod_nses_step
+
+        self.mesh = make_pop_mesh()
+        self.env = MazeEnv()
+        self.model = ContinuousMLP(obs_dim=11, ac_dim=2, hidden=8)
+        self.opt = Adam(stepsize=0.01)
+        self.table = NoiseTable.from_seed(count=100_000)
+        self.archive = novelty.archive_init(64, 2)
+        # seed the archive with a few distinct BC points
+        for p in ([10.0, 10.0], [50.0, 50.0], [100.0, 20.0]):
+            self.archive = novelty.archive_add(self.archive, jnp.asarray(p))
+        self.k = 2
+        self.make = make_pod_nses_step
+
+    def _step(self, algo_type):
+        step = self.make(
+            self.env, self.model, self.opt, self.mesh,
+            npairs_per_device=4, k=self.k, algo_type=algo_type, l2coeff=0.005,
+        )
+        theta = self.model.init_theta(jax.random.PRNGKey(0))
+        opt_state = self.opt.init(self.model.num_params)
+        keys = jax.random.split(jax.random.PRNGKey(7), 8)
+        res = step(
+            theta, opt_state, self.table.noise, keys,
+            jnp.int32(50), jnp.float32(0.05), self.archive,
+        )
+        return theta, res
+
+    def test_shapes_and_replication(self):
+        _, res = self._step("ns")
+        assert res.returns_n2.shape == (32, 2)
+        assert res.novelty_n2.shape == (32, 2)
+        assert res.bcs_2n.shape == (64, 2)
+        shards = [np.asarray(s.data) for s in res.theta.addressable_shards]
+        for s in shards[1:]:
+            np.testing.assert_array_equal(shards[0], s)
+
+    def test_novelty_matches_host_knn(self):
+        """Per-rollout novelty must equal the reference's mean distance to
+        the k nearest archive points (nses.py:22-32), recomputed on host."""
+        _, res = self._step("ns")
+        pts = np.asarray(self.archive.points)[: int(self.archive.count)]
+        bcs = np.asarray(res.bcs_2n)
+        novs = np.asarray(res.novelty_n2)  # [n, 2] pairs (pos, neg)
+        n = novs.shape[0]
+        flat = np.concatenate([novs[:, 0], novs[:, 1]])
+        # bcs per device are [pos(4), neg(4)] blocks; pair layout matches
+        for i in range(2 * n):
+            d = np.sort(np.linalg.norm(pts - bcs[_bc_index(i, n, 4)], axis=1))[: self.k]
+            np.testing.assert_allclose(flat[i], d.mean(), rtol=1e-5)
+
+    def test_update_matches_host_recomputation_ns_and_nsr(self):
+        for algo_type in ("ns", "nsr"):
+            theta0, res = self._step(algo_type)
+            novs = np.asarray(res.novelty_n2)
+            rets = np.asarray(res.returns_n2)
+            idxs = np.asarray(res.noise_idxs)
+            table = np.asarray(self.table.noise)
+            dim = self.model.num_params
+
+            proc = ref_centered_ranks(novs)
+            if algo_type == "nsr":
+                proc = (proc + ref_centered_ranks(rets)) / 2.0
+            w = proc[:, 0] - proc[:, 1]
+            g = np.zeros(dim, np.float32)
+            for i, idx in enumerate(idxs):
+                g += w[i] * table[idx : idx + dim]
+            g /= novs.size
+
+            globalg = -g + 0.005 * np.asarray(theta0)
+            a = 0.01 * np.sqrt(1 - 0.999) / (1 - 0.9)
+            m = 0.1 * globalg
+            v = 0.001 * globalg * globalg
+            step = -a * m / (np.sqrt(v) + 1e-8)
+            expected = np.asarray(theta0) + step
+            np.testing.assert_allclose(
+                np.asarray(res.theta), expected, rtol=2e-4, atol=2e-6
+            )
+
+
+def _bc_index(i, n, npairs_per_device):
+    """Map a flat (pos-then-neg) pair index onto the pop-sharded bcs_2n
+    layout: each device contributes [pos(npd), neg(npd)] blocks."""
+    sign = 0 if i < n else 1
+    j = i % n
+    dev, slot = divmod(j, npairs_per_device)
+    return dev * 2 * npairs_per_device + sign * npairs_per_device + slot
+
+
 class TestPodGA:
     def test_randomize_and_mutate_rounds(self):
         import jax

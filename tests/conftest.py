@@ -30,3 +30,20 @@ assert jax.device_count() == 8, (
     f"expected 8 virtual CPU devices, got {jax.devices()} — XLA_FLAGS was set "
     "after another jax import initialized the backend"
 )
+
+import pytest  # noqa: E402
+
+from deep_neuroevolution_tpu.utils import tabular as _tabular  # noqa: E402
+
+# captured before any test module can rebind it (several silence the logger
+# with `tabular.dump_tabular = lambda: ...` — sometimes at module scope)
+_REAL_DUMP_TABULAR = _tabular.dump_tabular
+
+
+@pytest.fixture(autouse=True)
+def _restore_tabular_logger():
+    """Undo any tabular.dump_tabular silencing after each test so logger
+    tests (test_tb_events) see the real function regardless of ordering."""
+    yield
+    _tabular.dump_tabular = _REAL_DUMP_TABULAR
+    _tabular._logger._kvs.clear()

@@ -25,14 +25,22 @@ def replay_snapshot(
     save_frames: str = "",
     seed: int = 0,
     env_kwargs: Optional[dict] = None,
+    theta_override: Optional[np.ndarray] = None,
+    return_trajectory: bool = False,
 ) -> dict:
     """Roll a policy snapshot for `episodes` episodes; returns summary stats
-    and optionally saves trajectories."""
+    and optionally saves trajectories.
+
+    `theta_override` replaces the snapshot's flat params (the VINE
+    inspector's offspring replay rebuilds θ ± σ·ε from the stored noise
+    index and passes it here, figure_custom/rollout_custom.py:20-32)."""
     from .config import resolve_env
 
     model, theta, payload = load_policy_snapshot(snapshot_path)
     env_id = env_id or payload["extra"].get("env_id") or "maze"
     env = resolve_env(env_id, **(env_kwargs or {}))
+    if theta_override is not None:
+        theta = theta_override
     theta = jnp.asarray(theta)
 
     if getattr(env, "is_host_env", False):
@@ -97,9 +105,12 @@ def replay_snapshot(
             lengths=lens,
             **({"bc_trajectory": traj} if traj is not None else {}),
         )
-    return {
+    out = {
         "returns": rets.tolist(),
         "lengths": lens.tolist(),
         "return_mean": float(rets.mean()),
         "length_mean": float(lens.mean()),
     }
+    if return_trajectory:
+        out["bc_trajectory"] = traj
+    return out

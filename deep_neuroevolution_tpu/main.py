@@ -86,16 +86,41 @@ def cmd_train(args) -> int:
 
 
 def cmd_replay(args) -> int:
-    from .utils.viz import replay_snapshot
+    from .utils.viz import replay_seed_chain, replay_snapshot
 
-    stats = replay_snapshot(
-        args.snapshot,
-        env_id=args.env,
-        episodes=args.episodes,
-        save_frames=args.save_frames,
-        seed=args.seed,
-        env_kwargs=json.loads(args.env_kwargs) if args.env_kwargs else None,
-    )
+    env_kwargs = json.loads(args.env_kwargs) if args.env_kwargs else None
+    if args.seeds:
+        # elite-from-seed-chain replay (display.py:30-89)
+        noise_table = None
+        if args.noise_count:
+            from .ops import NoiseTable
+
+            noise_table = NoiseTable.from_seed(count=args.noise_count)
+        stats = replay_seed_chain(
+            json.loads(args.seeds),
+            model_name=args.model,
+            env_id=args.env or "maze",
+            model_kwargs=json.loads(args.model_kwargs) if args.model_kwargs else None,
+            genome_style=args.genome_style,
+            noise_stdev=args.noise_stdev,
+            noise_table=noise_table,
+            episodes=args.episodes,
+            save_frames=args.save_frames,
+            seed=args.seed,
+            env_kwargs=env_kwargs,
+        )
+    else:
+        if not args.snapshot:
+            print("replay: provide --snapshot or --seeds", file=sys.stderr)
+            return 2
+        stats = replay_snapshot(
+            args.snapshot,
+            env_id=args.env,
+            episodes=args.episodes,
+            save_frames=args.save_frames,
+            seed=args.seed,
+            env_kwargs=env_kwargs,
+        )
     print(json.dumps(stats))
     return 0
 
@@ -117,13 +142,22 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--profile_dir", default="", help="jax.profiler trace of generation 3 → this dir")
     t.set_defaults(fn=cmd_train)
 
-    r = sub.add_parser("replay", help="roll out a policy snapshot (scripts/viz.py analog)")
-    r.add_argument("--snapshot", required=True)
+    r = sub.add_parser(
+        "replay", help="roll out a policy snapshot or seed-chain elite (scripts/viz.py + display.py)"
+    )
+    r.add_argument("--snapshot", default=None)
     r.add_argument("--env", default=None, help="env id override")
     r.add_argument("--episodes", type=int, default=1)
     r.add_argument("--save_frames", default="", help="write frames/trajectory .npz here")
     r.add_argument("--seed", type=int, default=0)
     r.add_argument("--env_kwargs", help='env ctor JSON, e.g. \'{"batch_size": 4, "bc_mode": "traj"}\'')
+    # seed-chain elite replay (display.py:30-89): chain instead of snapshot
+    r.add_argument("--seeds", help='genome JSON, e.g. "[123, [456, 0.002]]" (gpu) or "[123, 456]" (cpu)')
+    r.add_argument("--model", default="ContinuousMLP", help="model registry name for --seeds")
+    r.add_argument("--model_kwargs", help="model ctor JSON for --seeds")
+    r.add_argument("--genome_style", choices=["gpu", "cpu"], default="gpu")
+    r.add_argument("--noise_stdev", type=float, default=0.002, help="cpu-style chain mutation stdev")
+    r.add_argument("--noise_count", type=int, default=0, help="noise table size override (0 = full 250M)")
     r.set_defaults(fn=cmd_replay)
     return p
 

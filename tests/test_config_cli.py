@@ -215,3 +215,88 @@ class TestCLI:
         )
         assert p2.returncode == 0, p2.stderr[-2000:]
         assert "resuming from" in p2.stdout
+
+
+class TestSeedChainReplay:
+    """display.py:30-89 parity: rebuild an elite from its genome and roll."""
+
+    def test_replay_seed_chain_gpu_style(self):
+        from deep_neuroevolution_tpu.ops import NoiseTable
+        from deep_neuroevolution_tpu.utils.viz import replay_seed_chain
+
+        table = NoiseTable.from_seed(count=20_000)
+        res = replay_seed_chain(
+            [123, [456, 0.02]],
+            model_name="ContinuousMLP",
+            env_id="maze",
+            model_kwargs={"obs_dim": 11, "ac_dim": 2, "hidden": 8},
+            noise_table=table,
+        )
+        assert res["lengths"][0] > 0
+        # deterministic: same chain → same outcome
+        res2 = replay_seed_chain(
+            [123, [456, 0.02]],
+            model_name="ContinuousMLP",
+            env_id="maze",
+            model_kwargs={"obs_dim": 11, "ac_dim": 2, "hidden": 8},
+            noise_table=table,
+        )
+        assert res["return_mean"] == res2["return_mean"]
+
+    def test_replay_seed_chain_cpu_style_matches_ga_reconstruct(self):
+        import jax.numpy as jnp
+        import numpy as np
+
+        from deep_neuroevolution_tpu.models import ContinuousMLP
+        from deep_neuroevolution_tpu.ops import NoiseTable
+        from deep_neuroevolution_tpu.utils import viz
+
+        table = NoiseTable.from_seed(count=20_000)
+        model = ContinuousMLP(obs_dim=11, ac_dim=2, hidden=8)
+        dim = model.num_params
+        # golden: es_distributed/ga.py:256-263 reconstruction in numpy
+        noise = np.asarray(table.noise)
+        theta = np.asarray(model.reinit_theta(jnp.asarray(noise[100 : 100 + dim])))
+        theta = theta + 0.01 * noise[900 : 900 + dim]
+
+        captured = {}
+        orig = viz.replay_policy
+
+        def spy(model_, theta_, env_, **kw):
+            captured["theta"] = np.asarray(theta_)
+            return orig(model_, theta_, env_, **kw)
+
+        viz.replay_policy = spy
+        try:
+            viz.replay_seed_chain(
+                [100, 900],
+                model_name="ContinuousMLP",
+                env_id="maze",
+                model_kwargs={"obs_dim": 11, "ac_dim": 2, "hidden": 8},
+                genome_style="cpu",
+                noise_stdev=0.01,
+                noise_table=table,
+            )
+        finally:
+            viz.replay_policy = orig
+        np.testing.assert_allclose(captured["theta"], theta, rtol=1e-6)
+
+    def test_cli_replay_seeds(self, capsys):
+        import json as _json
+
+        from deep_neuroevolution_tpu.main import main as cli_main
+
+        rc = cli_main(
+            [
+                "replay",
+                "--seeds", "[123, [456, 0.02]]",
+                "--model", "ContinuousMLP",
+                "--model_kwargs", '{"obs_dim": 11, "ac_dim": 2, "hidden": 8}',
+                "--env", "maze",
+                "--noise_count", "20000",
+            ]
+        )
+        assert rc == 0
+        out = capsys.readouterr().out.strip().splitlines()[-1]
+        stats = _json.loads(out)
+        assert "return_mean" in stats and stats["lengths"][0] > 0

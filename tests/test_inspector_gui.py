@@ -344,3 +344,41 @@ class TestReplayEndToEnd:
                    row=np.array([0.0, 0.0, 1.0, 10.0, 1, 0.05]))
         res = replay_point(str(tmp_path), pt)  # parent: no noise table needed
         assert res["lengths"] and res["returns"]
+
+
+class TestProcessBCCLI:
+    """Standalone reduction CLI (visual_inspector/process_bc.py parity)."""
+
+    def test_pca_reduction_roundtrip(self, tmp_path):
+        rng = np.random.RandomState(0)
+        D = 8
+        for gen in (1, 2, 3):
+            master_extract_cloud(
+                str(tmp_path), gen, rng.randn(12, 2, D), rng.rand(12, 2) * 100,
+                rng.randint(5, 20, (12, 2)).astype(float),
+                rng.randint(0, 100, 12), rng.randint(0, 100, 12),
+            )
+            master_extract_parent(
+                str(tmp_path), gen, rng.randn(3, D), rng.rand(3) * 100,
+                rng.randint(5, 20, 3).astype(float), noise_stdev=0.1, seed=gen,
+            )
+        from deep_neuroevolution_tpu.inspector.load_data import (
+            list_generations,
+            load_offspring,
+            load_parent,
+        )
+        from deep_neuroevolution_tpu.inspector.process_bc import main as pbc_main
+
+        out = pbc_main(["1", "3", str(tmp_path), str(D), "--method", "pca"])
+        assert list_generations(out) == [1, 2, 3]
+        cloud = load_offspring(out, 2, 2)
+        assert cloud.bc.shape == (24, 2)  # 12 antithetic pairs → 24 rows, 2-D
+        # option columns (fitness, length, noise_idx, seed, sign) preserved
+        orig = load_offspring(str(tmp_path), 2, D)
+        np.testing.assert_allclose(cloud.fitness, orig.fitness)
+        np.testing.assert_array_equal(cloud.noise_idx, orig.noise_idx)
+        parent = load_parent(out, 2, 2)
+        assert parent.bc.shape == (2,)
+        # reduced output opens in the interactive GUI directly
+        insp = Inspector([out], interactive=False)
+        assert insp.gens == [1, 2, 3]

@@ -127,6 +127,34 @@ def _mean_bc(
     return jnp.mean(res.bc, axis=0)
 
 
+@partial(jax.jit, static_argnums=(0, 1, 5))
+def _mean_bc_parents(
+    env: Env,
+    model: Model,
+    thetas_m: jax.Array,  # [M, D] — the whole meta-population at once
+    key: jax.Array,
+    tslimit: jax.Array,
+    num_rollouts: int,
+    ctx=None,
+    ref_batch=None,
+):
+    """Mean BC of every parent in ONE device dispatch — the per-iteration
+    parent re-roll of nses.py:293-306 without M separate launches (each
+    launch costs a host round-trip; see CLAUDE.md on tunnel RTTs). For M=1
+    this computes exactly what `_mean_bc` computes with the same key."""
+    M = thetas_m.shape[0]
+    thetas = jnp.repeat(thetas_m, num_rollouts, axis=0)  # [M·R, D]
+    if model.needs_ref_batch:
+        stats = model.batch_ref_stats(thetas, ref_batch)
+        params = (thetas, stats)
+    else:
+        params = (thetas, ctx)
+    res = rollout_batch(
+        env, model.make_batch_act(), params, jax.random.split(key, thetas.shape[0]), tslimit
+    )
+    return res.bc.reshape(M, num_rollouts, -1).mean(axis=1)
+
+
 # ------------------------------------------------------------------ trainer
 
 
@@ -316,8 +344,22 @@ class NSESTrainer:
             )
         self.parents[p] = Parent(theta, opt_state, ob_stat)
 
-        # archive insertion of updated parent's mean BC (nses.py:246-247)
-        new_bc = self._mean_bc_dispatch(theta, self._next_key(), self._ctx(self.parents[p]))
+        # archive insertion of updated parent's mean BC (nses.py:246-247).
+        # Device envs without per-parent obs-stats batch ALL parents' mean
+        # BCs into one dispatch and reuse them for selection below (same
+        # estimator as the reference's per-parent re-rolls, one launch).
+        bcs_m = None
+        fast_bc = not self.is_host_env and not self.model.needs_ob_stat
+        if fast_bc:
+            thetas_m = jnp.stack([par.theta for par in self.parents])
+            bcs_m = _mean_bc_parents(
+                self.env, self.model, thetas_m, self._next_key(),
+                jnp.asarray(self.cutoff.tslimit_max, jnp.int32),
+                cfg.num_rollouts, None, self.ref_batch,
+            )
+            new_bc = bcs_m[p]
+        else:
+            new_bc = self._mean_bc_dispatch(theta, self._next_key(), self._ctx(self.parents[p]))
         self.archive = novelty.archive_add(self.archive, new_bc)
 
         lengths_np = np.asarray(lengths_n2)
@@ -329,12 +371,15 @@ class NSESTrainer:
 
         # parent selection (nses.py:293-306)
         if cfg.selection_method == "novelty_prob":
-            bcs = jnp.stack(
-                [
-                    self._mean_bc_dispatch(par.theta, self._next_key(), self._ctx(par))
-                    for par in self.parents
-                ]
-            )
+            if bcs_m is not None:
+                bcs = bcs_m
+            else:
+                bcs = jnp.stack(
+                    [
+                        self._mean_bc_dispatch(par.theta, self._next_key(), self._ctx(par))
+                        for par in self.parents
+                    ]
+                )
             novs = np.asarray(novelty.novelty_vs_archive(self.archive, bcs, cfg.k))
             probs = novs / novs.sum()
             self.curr_parent = int(

@@ -149,3 +149,42 @@ class TestNSESHostEnv:
         assert out["novelty"].shape == (4, 2)
         assert np.isfinite(out["update_ratio"])
         env.close()
+
+
+class TestBatchedParentBC:
+    """_mean_bc_parents = M-parent mean-BC in one dispatch; must equal the
+    per-parent `_mean_bc` path (identical computation at M=1, same key)."""
+
+    def test_m1_equals_single(self):
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from deep_neuroevolution_tpu.algos.nses import _mean_bc, _mean_bc_parents
+        from deep_neuroevolution_tpu.envs import MazeEnv
+        from deep_neuroevolution_tpu.models import ContinuousMLP
+
+        env = MazeEnv()
+        model = ContinuousMLP(obs_dim=11, ac_dim=2, hidden=8)
+        theta = model.init_theta(jax.random.PRNGKey(0))
+        key = jax.random.PRNGKey(5)
+        ts = jnp.int32(50)
+        single = _mean_bc(env, model, theta, key, ts, 3)
+        batched = _mean_bc_parents(env, model, theta[None], key, ts, 3)
+        np.testing.assert_allclose(np.asarray(single), np.asarray(batched[0]), rtol=1e-6)
+
+    def test_shapes_m3(self):
+        import jax
+        import jax.numpy as jnp
+
+        from deep_neuroevolution_tpu.algos.nses import _mean_bc_parents
+        from deep_neuroevolution_tpu.envs import MazeEnv
+        from deep_neuroevolution_tpu.models import ContinuousMLP
+
+        env = MazeEnv()
+        model = ContinuousMLP(obs_dim=11, ac_dim=2, hidden=8)
+        thetas = jnp.stack(
+            [model.init_theta(jax.random.PRNGKey(i)) for i in range(3)]
+        )
+        bcs = _mean_bc_parents(env, model, thetas, jax.random.PRNGKey(1), jnp.int32(30), 2)
+        assert bcs.shape == (3, env.bc_dim)

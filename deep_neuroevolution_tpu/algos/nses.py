@@ -169,6 +169,15 @@ class NSESTrainer:
         seed: int = 0,
     ):
         assert env.bc_dim > 0, "NS-ES needs an env with a behavior characterization"
+        if config.algo_type == "ns" and config.return_proc_mode == "centered_rank":
+            # reference-faithful but almost never intended: novelty rides the
+            # signreturns slot (nses.py:381-387), and 'centered_rank' ranks
+            # REWARD (nses.py:217-218) — pure-NS with it is just ES
+            tlogger.warn(
+                "NSES: algo_type='ns' with return_proc_mode='centered_rank' "
+                "optimizes reward, not novelty — use 'centered_sign_rank' "
+                "(maze_nses.json/frostbite_nses.json default)"
+            )
         self.is_host_env = getattr(env, "is_host_env", False)
         self.env = env
         self.model = model

@@ -88,7 +88,10 @@ def run_nses(table, iters, eval_every, log, algo_type="ns"):
     model = ContinuousMLP(obs_dim=11, ac_dim=2)
     cfg = NSESConfig(
         noise_stdev=0.05, population_size=256, num_eval_episodes=0,
-        episode_cutoff_mode="env_default", return_proc_mode="centered_rank",
+        episode_cutoff_mode="env_default",
+        # default return_proc_mode="centered_sign_rank" ranks the NOVELTY
+        # column (nses.py:221-222) — "centered_rank" would rank reward and
+        # silently degrade NS-ES to plain ES
         algo_type=algo_type, k=10, meta_population_size=3, num_rollouts=1,
         selection_method="novelty_prob",
     )

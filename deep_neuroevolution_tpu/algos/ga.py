@@ -181,6 +181,44 @@ class GATrainer:
         self.key, k = jax.random.split(self.key)
         return k
 
+    def copy_population(self, filename: str) -> None:
+        """Import a population from another run (gpu ga.py:75-82
+        TrainingState.copy_population + the exp['load_population'] hook,
+        gpu ga.py:161-162): accepts a full trainer-state pickle or a raw
+        pickled list of seed chains. Back-compat: bare-int mutation entries
+        of gpu-style chains are migrated to (idx, 0.005) tuples, exactly as
+        the reference does."""
+        import pickle
+
+        with open(filename, "rb") as f:
+            payload = pickle.load(f)
+        if isinstance(payload, dict):
+            pop = payload["ga"]["population"] if "ga" in payload else payload["population"]
+        else:
+            pop = payload
+
+        def migrate(seeds):
+            seeds = tuple(tuple(s) if isinstance(s, list) else s for s in seeds)
+            if self.config.genome_style != "gpu":
+                return seeds
+            return (seeds[0],) + tuple(
+                s if isinstance(s, tuple) else (s, 0.005) for s in seeds[1:]
+            )
+
+        imported = []
+        for o in pop:
+            if hasattr(o, "seeds"):
+                imported.append(
+                    Offspring(migrate(o.seeds), getattr(o, "fitness", float("-inf")),
+                              getattr(o, "training_steps", 0))
+                )
+            else:  # raw chain
+                imported.append(Offspring(migrate(o), float("-inf"), 0))
+        self.state.population = imported
+        # imported chains invalidate the parent-θ cache
+        self.cached_parent_thetas = None
+        self.cached_parent_seeds = []
+
     def _reconstruct(self, seeds: Tuple) -> jax.Array:
         """θ from a full seed chain (cache-miss path, base.py:139-145)."""
         from ..ops import genome

@@ -66,6 +66,37 @@ def load_policy_snapshot(path: str) -> Tuple[Any, np.ndarray, Dict[str, Any]]:
     return model, payload["theta"], payload
 
 
+def theta_from_seed_chain(
+    model, noise_table, seeds, genome_style: str = "gpu", noise_stdev: float = 0.002
+):
+    """Flat θ from a seed-chain genome, either encoding (SURVEY §3.4).
+
+    GPU-style (base.py:139-145): [init_seed, (idx, power), ...] with
+    per-model init scaling. CPU-style (es_distributed/ga.py:250-264): bare
+    indices, normalized-column reinit of the first slice, global stdev."""
+    import jax.numpy as jnp
+
+    from ..ops import genome
+
+    dim = model.num_params
+    assert noise_table.size > dim, "noise table smaller than num_params"
+    if genome_style == "gpu":
+        idxs = jnp.asarray(
+            [s[0] if isinstance(s, (tuple, list)) else s for s in seeds], jnp.int32
+        )
+        powers = jnp.asarray(
+            [s[1] if isinstance(s, (tuple, list)) else 0.0 for s in seeds], jnp.float32
+        )
+        scale_by = model.scale_by(getattr(model, "scale_style", "fan_in"))
+        return genome.reconstruct_gpu_style(noise_table.noise, idxs, powers, dim, scale_by)
+    if genome_style == "cpu":
+        theta = model.reinit_theta(noise_table.get(jnp.int32(seeds[0]), dim))
+        for s in seeds[1:]:
+            theta = theta + noise_stdev * noise_table.get(jnp.int32(s), dim)
+        return theta
+    raise ValueError(f"unknown genome_style {genome_style!r} (gpu|cpu)")
+
+
 def initialize_from(small_snapshot_path: str, big_model) -> np.ndarray:
     """Warm-start surgery: load a smaller policy's tensors into a larger
     model's prefix slices (policies.py:219-249)."""

@@ -71,6 +71,8 @@ def _atari_available() -> bool:
 def build_model(policy_type: str, args: Dict[str, Any], env) -> models.Model:
     """Instantiate a model for an env from reference policy/model names."""
     cls = models.get_model(policy_type)
+    # init_from is a warm-start directive (es.py:165-167), not a ctor kwarg
+    args = {k: v for k, v in args.items() if k != "init_from"}
     if cls is models.MujocoMLP:
         space = env.action_space
         assert isinstance(space, Continuous)
@@ -139,7 +141,7 @@ def load_experiment(
                 episode_cutoff_mode=exp.get("episode_cutoff_mode", "env_default"),
                 **{k: overrides[k] for k in ("eval_batch", "num_eval_episodes", "grad_chunk") if k in overrides},
             )
-            return ESTrainer(
+            tr = ESTrainer(
                 env,
                 model,
                 cfg,
@@ -147,6 +149,20 @@ def load_experiment(
                 noise_table=noise_table,
                 seed=seed,
             )
+            if "load_from" in exp:
+                # GA-seeded ES: initial θ from a pickled seed chain
+                # (gpu es.py:164-171 seeds.pkl import hook)
+                import pickle
+
+                import jax.numpy as jnp
+
+                from .checkpoint import theta_from_seed_chain
+
+                with open(exp["load_from"].format(**exp), "rb") as f:
+                    seeds = pickle.load(f)
+                theta0 = theta_from_seed_chain(model, tr.noise, seeds)
+                tr.state = tr.state._replace(theta=jnp.asarray(theta0))
+            return tr
         cfg = GAConfig(
             population_size=int(exp["population_size"]),
             selection_threshold=int(exp.get("selection_threshold", 0)),
@@ -159,7 +175,10 @@ def load_experiment(
             **{k: overrides[k] for k in ("eval_batch",) if k in overrides},
         )
         ctor = RSTrainer if algo == "rs" else GATrainer
-        return ctor(env, model, cfg, noise_table=noise_table, seed=seed)
+        tr = ctor(env, model, cfg, noise_table=noise_table, seed=seed)
+        if "load_population" in exp:  # gpu ga.py:161-162
+            tr.copy_population(exp["load_population"])
+        return tr
 
     # -------------------------------------- CPU schema
     c = exp["config"]
@@ -190,7 +209,7 @@ def load_experiment(
             episode_cutoff_mode=c.get("episode_cutoff_mode", "env_default"),
             **{k: overrides[k] for k in ("eval_batch", "num_eval_episodes", "grad_chunk") if k in overrides},
         )
-        return ESTrainer(
+        tr = ESTrainer(
             env,
             model,
             cfg,
@@ -198,6 +217,18 @@ def load_experiment(
             noise_table=noise_table,
             seed=seed,
         )
+        init_from = exp["policy"].get("args", {}).get("init_from")
+        if init_from:
+            # warm-start surgery: smaller policy's tensors into this model's
+            # prefix slices (es.py:165-167 → policies.py:219-249)
+            import jax.numpy as jnp
+
+            from .checkpoint import initialize_from
+
+            tr.state = tr.state._replace(
+                theta=jnp.asarray(initialize_from(init_from, model))
+            )
+        return tr
     if algo in ("ga", "rs"):
         cfg = GAConfig(
             population_size=int(exp.get("population_size", 1000)),

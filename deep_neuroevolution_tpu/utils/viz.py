@@ -159,7 +159,7 @@ def replay_seed_chain(
     CPU-style = bare indices with the global `noise_stdev`
     (es_distributed/ga.py:250-264)."""
     from .. import models
-    from ..ops import genome
+    from .checkpoint import theta_from_seed_chain
     from .config import resolve_env
 
     cls = getattr(models, model_name, None) or models.get_model(model_name)
@@ -169,24 +169,7 @@ def replay_seed_chain(
         from ..ops import NoiseTable
 
         noise_table = NoiseTable.from_seed()
-    dim = model.num_params
-    assert noise_table.size > dim, "noise table smaller than num_params"
-
-    if genome_style == "gpu":
-        idxs = jnp.asarray(
-            [s[0] if isinstance(s, (tuple, list)) else s for s in seeds], jnp.int32
-        )
-        powers = jnp.asarray(
-            [s[1] if isinstance(s, (tuple, list)) else 0.0 for s in seeds], jnp.float32
-        )
-        scale_by = model.scale_by(getattr(model, "scale_style", "fan_in"))
-        theta = genome.reconstruct_gpu_style(noise_table.noise, idxs, powers, dim, scale_by)
-    elif genome_style == "cpu":
-        theta = model.reinit_theta(noise_table.get(jnp.int32(seeds[0]), dim))
-        for s in seeds[1:]:
-            theta = theta + noise_stdev * noise_table.get(jnp.int32(s), dim)
-    else:
-        raise ValueError(f"unknown genome_style {genome_style!r} (gpu|cpu)")
+    theta = theta_from_seed_chain(model, noise_table, seeds, genome_style, noise_stdev)
 
     ref_batch = None
     if model.needs_ref_batch:

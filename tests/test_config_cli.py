@@ -300,3 +300,92 @@ class TestSeedChainReplay:
         out = capsys.readouterr().out.strip().splitlines()[-1]
         stats = _json.loads(out)
         assert "return_mean" in stats and stats["lengths"][0] > 0
+
+
+class TestImportHooks:
+    """Population/θ import hooks: exp['load_population'] (gpu ga.py:161-162 +
+    copy_population back-compat migration, ga.py:75-82), exp['load_from']
+    (gpu es.py:164-171 seeds.pkl), policy.args.init_from (es.py:165-167)."""
+
+    def _ga_exp(self, **extra):
+        return {
+            "game": "maze", "model": "ContinuousMLP", "population_size": 8,
+            "selection_threshold": 2, "validation_threshold": 2,
+            "num_validation_episodes": 1, "num_test_episodes": 1,
+            "mutation_power": 0.05, "episode_cutoff_mode": 30, **extra,
+        }
+
+    def test_load_population_migrates_bare_ints(self, tmp_path):
+        import pickle
+
+        chains = [(5, 17, 23), (9, (31, 0.1))]  # first has legacy bare ints
+        p = tmp_path / "pop.pkl"
+        with open(p, "wb") as f:
+            pickle.dump(chains, f)
+        tr = config.load_experiment(
+            self._ga_exp(load_population=str(p)),
+            overrides={"noise_size": 100_000},
+        )
+        seeds0 = tr.state.population[0].seeds
+        assert seeds0 == (5, (17, 0.005), (23, 0.005))  # reference 0.005 default
+        assert tr.state.population[1].seeds == (9, (31, 0.1))
+
+    def test_load_population_from_trainer_snapshot(self, tmp_path):
+        from deep_neuroevolution_tpu.algos.ga import Offspring
+
+        tr = config.load_experiment(self._ga_exp(), overrides={"noise_size": 100_000})
+        tr.state.population = [Offspring((3, (7, 0.05)), 1.5, 40)]
+        snap = tmp_path / "snapshot.pkl"
+        checkpoint.save_trainer(str(snap), tr)
+
+        tr2 = config.load_experiment(
+            self._ga_exp(load_population=str(snap)),
+            overrides={"noise_size": 100_000},
+        )
+        assert tr2.state.population[0].seeds == (3, (7, 0.05))
+        assert tr2.state.population[0].fitness == 1.5
+
+    def test_load_from_seeds_pkl(self, tmp_path):
+        import pickle
+
+        import jax.numpy as jnp
+        import numpy as np
+
+        p = tmp_path / "seeds.pkl"
+        with open(p, "wb") as f:
+            pickle.dump((11, (42, 0.02)), f)
+        exp = self._ga_exp(load_from=str(p))
+        exp.pop("selection_threshold")
+        exp["optimizer"] = {"type": "adam", "args": {"stepsize": 0.01}}
+        tr = config.load_experiment(exp, algo="es", overrides={"noise_size": 100_000})
+        expected = checkpoint.theta_from_seed_chain(
+            tr.model, tr.noise, (11, (42, 0.02))
+        )
+        np.testing.assert_allclose(
+            np.asarray(tr.state.theta), np.asarray(expected), rtol=1e-6
+        )
+
+    def test_init_from_warm_start(self, tmp_path):
+        import jax
+        import numpy as np
+
+        from deep_neuroevolution_tpu.models import ContinuousMLP
+
+        small = ContinuousMLP(obs_dim=11, ac_dim=2, hidden=8)
+        theta_small = small.init_theta(jax.random.PRNGKey(3))
+        snap = tmp_path / "small.pkl"
+        checkpoint.save_policy_snapshot(str(snap), small, theta_small)
+
+        exp = {
+            "config": {"noise_stdev": 0.05, "episodes_per_batch": 8,
+                        "timesteps_per_batch": 0, "episode_cutoff_mode": 30},
+            "env_id": "maze",
+            "policy": {"type": "ContinuousMLP",
+                       "args": {"hidden": 16, "init_from": str(snap)}},
+            "optimizer": {"type": "adam", "args": {"stepsize": 0.01}},
+        }
+        tr = config.load_experiment(exp, algo="es", overrides={"noise_size": 100_000})
+        expected = checkpoint.initialize_from(str(snap), tr.model)
+        np.testing.assert_allclose(
+            np.asarray(tr.state.theta), np.asarray(expected), rtol=1e-6
+        )

@@ -103,7 +103,7 @@ def gradient_from_noise_pallas(
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,  # idxs, weights
         grid=(ntiles,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],  # table stays in HBM
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],  # table stays in HBM
         out_specs=pl.BlockSpec(
             (sub, LANE), lambda t, idx_ref, w_ref: (t, 0), memory_space=pltpu.VMEM
         ),

@@ -83,19 +83,20 @@ def run_es(table, gens, eval_every, log):
     }
 
 
-def run_nses(table, iters, eval_every, log, algo_type="ns"):
+def run_nses(table, iters, eval_every, log, algo_type="ns",
+             stepsize=0.01, sigma=0.05, selection="novelty_prob"):
     env = MazeEnv()
     model = ContinuousMLP(obs_dim=11, ac_dim=2)
     cfg = NSESConfig(
-        noise_stdev=0.05, population_size=256, num_eval_episodes=0,
+        noise_stdev=sigma, population_size=256, num_eval_episodes=0,
         episode_cutoff_mode="env_default",
         # default return_proc_mode="centered_sign_rank" ranks the NOVELTY
         # column (nses.py:221-222) — "centered_rank" would rank reward and
         # silently degrade NS-ES to plain ES
         algo_type=algo_type, k=10, meta_population_size=3, num_rollouts=1,
-        selection_method="novelty_prob",
+        selection_method=selection,
     )
-    tr = NSESTrainer(env, model, cfg, optimizer=Adam(stepsize=0.01),
+    tr = NSESTrainer(env, model, cfg, optimizer=Adam(stepsize=stepsize),
                      noise_table=table, seed=0)
     ev = make_eval(env, model)
     curve, best = [], float("inf")
@@ -131,6 +132,11 @@ def main():
     ap.add_argument("--ns_iters", type=int, default=3000)
     ap.add_argument("--eval_every", type=int, default=25)
     ap.add_argument("--out", default="results/maze_comparison.json")
+    ap.add_argument("--ns_only", action="store_true", help="skip the ES phase")
+    ap.add_argument("--ns_stepsize", type=float, default=0.01)
+    ap.add_argument("--ns_sigma", type=float, default=0.05)
+    ap.add_argument("--ns_selection", default="novelty_prob",
+                    choices=["novelty_prob", "round_robin"])
     args = ap.parse_args()
 
     tabular.dump_tabular = lambda: tabular._logger._kvs.clear()  # quiet console
@@ -144,13 +150,18 @@ def main():
         "maze_goal_dist": "<5 (goal chamber)",
         "device": str(jax.devices()[0]),
     }}
-    out["es"] = run_es(table, args.es_gens, args.eval_every, log)
-    out["nses"] = run_nses(table, args.ns_iters, args.eval_every, log)
+    if not args.ns_only:
+        out["es"] = run_es(table, args.es_gens, args.eval_every, log)
+    out["nses"] = run_nses(
+        table, args.ns_iters, args.eval_every, log,
+        stepsize=args.ns_stepsize, sigma=args.ns_sigma, selection=args.ns_selection,
+    )
 
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
     with open(args.out, "w") as f:
         json.dump(out, f, indent=1)
-    log(f"ES best {out['es']['best_offspring_dist']:.2f} vs "
+    es_best = out.get("es", {}).get("best_offspring_dist")
+    log(f"ES best {es_best if es_best is not None else 'skipped'} vs "
         f"NS-ES best {out['nses']['best_offspring_dist']:.2f} → {args.out}")
 
 

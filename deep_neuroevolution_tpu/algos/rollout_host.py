@@ -51,6 +51,20 @@ def _device_reset(frames: jax.Array, out_h: int, out_w: int):
     return stack_reset(preprocess_frames(frames, out_h, out_w))
 
 
+def _slice_group_params(params, sl: slice, B: int):
+    """Per-group view of (thetas [B, D], ctx). ctx is sliced only when EVERY
+    leaf is stacked per member (VBN stats, [B, ...]); shared ctx pytrees
+    (obs-norm MLPContext with a scalar flag leaf) pass through whole."""
+    thetas, ctx = params
+    if ctx is not None:
+        leaves = jax.tree_util.tree_leaves(ctx)
+        if leaves and all(
+            hasattr(leaf, "ndim") and leaf.ndim >= 1 and leaf.shape[0] == B for leaf in leaves
+        ):
+            ctx = jax.tree_util.tree_map(lambda leaf: leaf[sl], ctx)
+    return thetas[sl], ctx
+
+
 def rollout_host_batch(
     henv,
     act_fn: Callable,
@@ -60,20 +74,43 @@ def rollout_host_batch(
     out_hw: int = 84,
     noops: Optional[np.ndarray] = None,
     collect_obstat: bool = False,
+    pipeline_groups: Optional[int] = None,
 ) -> RolloutResult:
     """Evaluate B policies on the B host-engine slots, one episode each.
 
     `timestep_limit` counts engine steps (= frameskip·4 emulator frames,
     matching the reference's max_frames = tslimit·4 margin handling at the
-    caller, gpu es.py:197)."""
+    caller, gpu es.py:197).
+
+    Host/device overlap: slots are split into `pipeline_groups` interleaved
+    groups (default: the env's `pipeline_groups` attr). While the device
+    computes group g's next actions (dispatched async), the host pool steps
+    group g+1's simulators — the SPMD analog of the reference's 4 worker
+    objects per GPU (concurrent_worker.py:129-142, whose point was exactly
+    this CPU/GPU overlap, gpu_implementation/README.md:3). Per-slot RNG keys
+    are group-independent, so results are bit-identical for any G."""
     B = henv.batch_size
+    G = pipeline_groups if pipeline_groups is not None else getattr(henv, "pipeline_groups", 1)
+    if G < 1 or B % G != 0:
+        G = 1
+    Bg = B // G
     seed = int(jax.random.randint(key, (), 0, 2**31 - 1))
     rng = np.random.default_rng(seed)
     if noops is None:
         noops = rng.integers(1, 31, size=B)  # tf_atari.py:65
     henv.reset(noops=noops, max_frames=timestep_limit * 4)
 
-    stack = _device_reset(jnp.asarray(henv.observe()), out_hw, out_hw)
+    frames0 = henv.observe()
+    keys = jax.random.split(key, B)
+    sls = [slice(g * Bg, (g + 1) * Bg) for g in range(G)]
+    gidx = [np.arange(g * Bg, (g + 1) * Bg, dtype=np.int32) for g in range(G)]
+    params_g = [_slice_group_params(params, s, B) for s in sls]
+    keys_g = [keys[s] for s in sls]
+    stacks = [_device_reset(jnp.asarray(frames0[s]), out_hw, out_hw) for s in sls]
+    actions_dev = [
+        act_fn(params_g[g], stacks[g], jax.vmap(lambda k: jax.random.fold_in(k, 0))(keys_g[g]))
+        for g in range(G)
+    ]
 
     done = np.zeros(B, bool)
     ret = np.zeros(B, np.float32)
@@ -83,39 +120,34 @@ def rollout_host_batch(
     ob_sumsq = np.zeros((out_hw, out_hw, 4), np.float32)
     ob_count = 0.0
 
-    keys = jax.random.split(key, B)
-    tkeys0 = jax.vmap(lambda k: jax.random.fold_in(k, 0))(keys)
-    actions_dev = act_fn(params, stack, tkeys0)  # first actions from reset stack
-    t = 0
-    while not done.all() and t < timestep_limit:
-        acts = np.asarray(actions_dev)
-        # host: step only the still-running simulators — the lockstep analog
-        # of the reference's dynamic slot recycling (concurrent_worker.py:93-102)
-        alive_idx = np.nonzero(~done)[0].astype(np.int32)
-        r_sub, d_sub = henv.step(acts[alive_idx], indices=alive_idx)
-        r = np.zeros(B, np.float32)
-        d = np.zeros(B, bool)
-        r[alive_idx] = r_sub
-        d[alive_idx] = d_sub
-        frames = henv.observe()
-        # device: fold new frames into the stack and pick next actions —
-        # dispatched async, overlapping the next host step's bookkeeping
-        tkeys = jax.vmap(lambda k: jax.random.fold_in(k, t + 1))(keys)
-        new_stack, actions_dev = _device_step(
-            act_fn, params, stack, tkeys, out_hw, out_hw, jnp.asarray(frames)
-        )
-        alive = ~done
-        ret[alive] += r[alive]
-        sret[alive] += np.sign(r[alive])
-        length[alive] += 1
-        if collect_obstat:
-            s_np = np.asarray(stack)
-            ob_sum += s_np[alive].sum(axis=0)
-            ob_sumsq += np.square(s_np[alive]).sum(axis=0)
-            ob_count += float(alive.sum())
-        stack = new_stack
-        done |= d
-        t += 1
+    for t in range(timestep_limit):
+        if done.all():
+            break
+        for g in range(G):
+            galive = ~done[sls[g]]
+            if not galive.any():
+                continue
+            acts = np.asarray(actions_dev[g])  # sync THIS group only
+            # host: step only the still-running simulators — the lockstep
+            # analog of dynamic slot recycling (concurrent_worker.py:93-102)
+            alive_idx = gidx[g][galive]
+            r_sub, d_sub = henv.step(acts[galive], indices=alive_idx)
+            frames_g = henv.observe(indices=gidx[g])
+            if collect_obstat:
+                s_np = np.asarray(stacks[g])
+                ob_sum += s_np[galive].sum(axis=0)
+                ob_sumsq += np.square(s_np[galive]).sum(axis=0)
+                ob_count += float(galive.sum())
+            # device: fold new frames into the stack and pick next actions —
+            # dispatched async, overlapping the NEXT group's host step
+            tkeys = jax.vmap(lambda k: jax.random.fold_in(k, t + 1))(keys_g[g])
+            stacks[g], actions_dev[g] = _device_step(
+                act_fn, params_g[g], stacks[g], tkeys, out_hw, out_hw, jnp.asarray(frames_g)
+            )
+            ret[alive_idx] += r_sub
+            sret[alive_idx] += np.sign(r_sub)
+            length[alive_idx] += 1
+            done[alive_idx] |= d_sub
 
     bc = henv.final_state()  # RAM bytes (tf_atari.cpp:114-119) as the BC
     return RolloutResult(

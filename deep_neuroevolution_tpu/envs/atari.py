@@ -74,6 +74,7 @@ class AtariEnv:
         rom_path: Optional[str] = None,
         num_threads: int = 0,
         warp_size: int = 84,
+        pipeline_groups: int = 2,
     ):
         from ..native.bridge import HostBatchEnv
 
@@ -91,6 +92,11 @@ class AtariEnv:
         self.obs_shape = (warp_size, warp_size, 4)
         self.default_timestep_cutoff = DEFAULT_TIMESTEP_CUTOFF
         self.discrete_action = True
+        # host/device overlap: the rollout engine interleaves this many slot
+        # groups so the TPU computes one group's actions while the C++ pool
+        # steps the next (the reference ran 4 RLEvalutionWorkers per GPU for
+        # the same reason, concurrent_worker.py:129-142)
+        self.pipeline_groups = pipeline_groups
 
     # batched host interface consumed by rollout_host_batch
     def reset(self, indices=None, noops=None, max_frames: int = DEFAULT_TIMESTEP_CUTOFF):
@@ -99,8 +105,8 @@ class AtariEnv:
     def step(self, actions: np.ndarray, indices=None):
         return self._env.step(actions, indices=indices)
 
-    def observe(self) -> np.ndarray:
-        return self._env.observe()
+    def observe(self, indices=None) -> np.ndarray:
+        return self._env.observe(indices=indices)
 
     def final_state(self) -> np.ndarray:
         return self._env.final_state()

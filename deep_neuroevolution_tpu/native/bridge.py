@@ -99,7 +99,9 @@ class HostBatchEnv:
         idx = self._all if indices is None else np.ascontiguousarray(indices, np.int32)
         n = idx.size
         self._lib.nevo_observe(self._h, idx, n, self._obs[:n].reshape(-1))
-        return self._obs[:n]
+        # copy: the staging buffer is reused by the next call, and pipelined
+        # rollouts keep several groups' frames in flight simultaneously
+        return self._obs[:n].copy()
 
     def final_state(self, indices: Optional[np.ndarray] = None) -> np.ndarray:
         idx = self._all if indices is None else np.ascontiguousarray(indices, np.int32)

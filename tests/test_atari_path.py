@@ -166,3 +166,63 @@ class TestNativeConcurrency:
         assert p.returncode == 0, p.stderr[-2000:] + p.stdout[-500:]
         assert "stress ok" in p.stdout
         assert "WARNING: ThreadSanitizer" not in p.stderr
+
+
+class TestPipelinedRollout:
+    """Group-interleaved host/device pipelining (rollout_host_batch
+    pipeline_groups): per-slot keys are group-independent, so any G must
+    reproduce the sequential (G=1) result exactly."""
+
+    def test_group_counts_equivalent(self):
+        import jax
+
+        from deep_neuroevolution_tpu.algos.rollout_host import rollout_host_batch
+        from deep_neuroevolution_tpu.envs.atari import AtariEnv
+        from deep_neuroevolution_tpu.models import SmallDQN
+
+        env = AtariEnv(game="toy", batch_size=8, warp_size=84)
+        model = SmallDQN(num_actions=env.num_actions)
+        thetas = jax.vmap(model.init_theta)(
+            jax.random.split(jax.random.PRNGKey(0), env.batch_size)
+        )
+        key = jax.random.PRNGKey(7)
+        results = {}
+        for G in (1, 2, 4):
+            res = rollout_host_batch(
+                env, model.make_batch_act(), (thetas, None), key, 40,
+                pipeline_groups=G,
+            )
+            results[G] = res
+        env.close()
+        import numpy as np
+
+        for G in (2, 4):
+            np.testing.assert_array_equal(
+                np.asarray(results[1].lengths), np.asarray(results[G].lengths)
+            )
+            np.testing.assert_allclose(
+                np.asarray(results[1].returns), np.asarray(results[G].returns),
+                rtol=1e-6,
+            )
+            np.testing.assert_allclose(
+                np.asarray(results[1].bc), np.asarray(results[G].bc), rtol=1e-6
+            )
+
+    def test_non_divisible_falls_back_sequential(self):
+        import jax
+
+        from deep_neuroevolution_tpu.algos.rollout_host import rollout_host_batch
+        from deep_neuroevolution_tpu.envs.atari import AtariEnv
+        from deep_neuroevolution_tpu.models import SmallDQN
+
+        env = AtariEnv(game="toy", batch_size=6, warp_size=84)
+        model = SmallDQN(num_actions=env.num_actions)
+        thetas = jax.vmap(model.init_theta)(
+            jax.random.split(jax.random.PRNGKey(0), env.batch_size)
+        )
+        res = rollout_host_batch(
+            env, model.make_batch_act(), (thetas, None), jax.random.PRNGKey(1), 10,
+            pipeline_groups=4,  # 6 % 4 != 0 → G=1
+        )
+        env.close()
+        assert res.returns.shape == (6,)

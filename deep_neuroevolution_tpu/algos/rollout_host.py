@@ -54,7 +54,12 @@ def _device_reset(frames: jax.Array, out_h: int, out_w: int):
 def _slice_group_params(params, sl: slice, B: int):
     """Per-group view of (thetas [B, D], ctx). ctx is sliced only when EVERY
     leaf is stacked per member (VBN stats, [B, ...]); shared ctx pytrees
-    (obs-norm MLPContext with a scalar flag leaf) pass through whole."""
+    (obs-norm MLPContext with a scalar flag leaf) pass through whole.
+    Bare params (None, or anything but a (thetas, ctx) pair — e.g. a fixed
+    policy closure ignoring its params, concurrent_worker.py:93-102's
+    callback-driven tasks carry arbitrary payloads) pass through unsliced."""
+    if params is None or not (isinstance(params, tuple) and len(params) == 2):
+        return params
     thetas, ctx = params
     if ctx is not None:
         leaves = jax.tree_util.tree_leaves(ctx)

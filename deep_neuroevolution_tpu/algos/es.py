@@ -71,6 +71,9 @@ class ESConfig:
     eval_batch: int = 0  # antithetic pairs evaluated per device round
     num_eval_episodes: int = 8  # noiseless eval episodes per generation
     grad_chunk: int = 256  # streaming chunk for the gradient gather-matmul
+    theta_hbm_budget: int = 2**31  # bytes allowed for the [2·npairs, D] θ±σε
+    #   batch; rounds are auto-chunked so pop 5000 × 4M-param nets never
+    #   materialize [P, D] (SURVEY §7 hard parts 3-4)
     vine_snapshot_dir: str = ""  # per-generation BC cloud dumps (es_modified.py)
     use_pallas_grad: bool = False  # Pallas streamed gradient + 1024-aligned
     #   noise indices (ops/pallas_kernels.py; ~30x the XLA gather path on TPU)
@@ -134,8 +137,7 @@ class GenStats(NamedTuple):
 # --------------------------------------------------------------------------
 
 
-@partial(jax.jit, static_argnums=(0, 1, 7, 10))
-def _eval_perturbed_round(
+def _perturbed_round_body(
     env: Env,
     model: Model,
     theta: jax.Array,
@@ -150,7 +152,9 @@ def _eval_perturbed_round(
 ):
     """One device round: sample npairs indices, evaluate θ±σε in one lockstep
     batch of 2·npairs slots. Returns per-pair [n,2] stats (pos, neg columns,
-    matching Result.returns_n2, es.py:423-426)."""
+    matching Result.returns_n2, es.py:423-426). Plain traced function so it
+    can live inside a `lax.scan` over rounds (see `_eval_rounds`) — only
+    [2·npairs, D] perturbed θs are ever live (SURVEY §7 hard part 3)."""
     dim = theta.shape[0]
     kidx, kroll = jax.random.split(key)
     if aligned:
@@ -193,8 +197,70 @@ def _eval_perturbed_round(
     )
 
 
-@partial(jax.jit, static_argnums=(0, 1, 5))
-def _eval_theta(
+@partial(jax.jit, static_argnums=(0, 1, 7, 10))
+def _eval_perturbed_round(
+    env: Env,
+    model: Model,
+    theta: jax.Array,
+    table_noise: jax.Array,
+    key: jax.Array,
+    tslimit: jax.Array,
+    sigma: jax.Array,
+    npairs: int,
+    ctx=None,
+    ref_batch: Optional[jax.Array] = None,
+    aligned: bool = False,
+):
+    """Jitted single-round wrapper (kept for direct use and tests)."""
+    return _perturbed_round_body(
+        env, model, theta, table_noise, key, tslimit, sigma, npairs, ctx, ref_batch, aligned
+    )
+
+
+@partial(jax.jit, static_argnums=(0, 1, 7, 8, 11))
+def _eval_rounds(
+    env: Env,
+    model: Model,
+    theta: jax.Array,
+    table_noise: jax.Array,
+    key: jax.Array,
+    tslimit: jax.Array,
+    sigma: jax.Array,
+    npairs: int,
+    n_rounds: int,
+    ctx=None,
+    ref_batch: Optional[jax.Array] = None,
+    aligned: bool = False,
+):
+    """n_rounds antithetic rounds in ONE dispatch via `lax.scan` — the device
+    analog of the reference master draining worker results until quota
+    (es.py:230-265) without one host sync per round. Peak HBM stays at
+    O(npairs × D); obs-stat sums ride the scan carry. Outputs are flattened
+    to [n_rounds·npairs, ...]."""
+    keys = jax.random.split(key, n_rounds)
+
+    def body(carry, rkey):
+        idxs, rets, srets, lens, osum, osumsq, ocount, bcs, eseeds = _perturbed_round_body(
+            env, model, theta, table_noise, rkey, tslimit, sigma, npairs, ctx, ref_batch, aligned
+        )
+        osum_a, osumsq_a, ocount_a = carry
+        return (osum_a + osum, osumsq_a + osumsq, ocount_a + ocount), (
+            idxs, rets, srets, lens, bcs, eseeds,
+        )
+
+    carry0 = (
+        jnp.zeros(env.obs_shape, jnp.float32),
+        jnp.zeros(env.obs_shape, jnp.float32),
+        jnp.zeros((), jnp.float32),
+    )
+    (ob_sum, ob_sumsq, ob_count), outs = jax.lax.scan(body, carry0, keys)
+    idxs, rets, srets, lens, bcs, eseeds = jax.tree_util.tree_map(
+        lambda x: x.reshape((-1,) + x.shape[2:]), outs
+    )
+    return idxs, rets, srets, lens, ob_sum, ob_sumsq, ob_count, bcs, eseeds
+
+
+def _eval_theta_body(
     env: Env,
     model: Model,
     theta: jax.Array,
@@ -214,6 +280,21 @@ def _eval_theta(
         params = (thetas, ctx)
     res = rollout_batch(env, model.make_batch_act(), params, jax.random.split(key, nepisodes), tslimit)
     return res.returns, res.lengths, res.bc
+
+
+@partial(jax.jit, static_argnums=(0, 1, 5))
+def _eval_theta(
+    env: Env,
+    model: Model,
+    theta: jax.Array,
+    key: jax.Array,
+    tslimit: jax.Array,
+    nepisodes: int,
+    ctx=None,
+    ref_batch: Optional[jax.Array] = None,
+):
+    """Jitted wrapper of `_eval_theta_body`."""
+    return _eval_theta_body(env, model, theta, key, tslimit, nepisodes, ctx, ref_batch)
 
 
 @partial(jax.jit, static_argnums=(4, 6, 7, 8, 9))
@@ -246,7 +327,7 @@ def _compute_update(
     return opt_state, new_theta, ratio, jnp.sum(jnp.square(g))
 
 
-@partial(jax.jit, static_argnums=(0, 1, 7, 9, 10, 11, 13, 15))
+@partial(jax.jit, static_argnums=(0, 1, 7, 8, 9, 11, 12, 13, 16, 19))
 def _fused_generation(
     env: Env,
     model: Model,
@@ -256,22 +337,29 @@ def _fused_generation(
     key: jax.Array,
     tslimit: jax.Array,
     npairs: int,
+    n_rounds: int,
+    num_eval: int,
     sigma: jax.Array,
     return_proc_mode: str,
     optimizer: optim.Adam,
     l2coeff: float,
-    ctx=None,
+    ctx_train=None,
+    ctx_eval=None,
     use_pallas: bool = False,
     ref_batch: Optional[jax.Array] = None,
+    eval_key: Optional[jax.Array] = None,
     grad_chunk: int = 256,
 ):
-    """Whole fixed-population generation — eval round + rank transform +
-    gradient + optimizer step — as ONE compiled computation. This is the
-    single-device twin of parallel/es_pod.py's gen_step; the multi-dispatch
-    trainer path remains for quota mode (variable round counts)."""
-    out = _eval_perturbed_round(
-        env, model, theta, table, key, tslimit, sigma, npairs, ctx, ref_batch,
-        use_pallas,
+    """Whole fixed-population generation — n_rounds scanned eval rounds +
+    rank transform + streamed gradient + optimizer step + the noiseless eval
+    episodes of the (pre-update) θ — as ONE compiled computation with ONE
+    batched device_get of diagnostics. This is the single-device twin of
+    parallel/es_pod.py's gen_step. Peak HBM for perturbed parameters is
+    O(npairs × D) regardless of population size (the TPU analog of the
+    reference's 500-vector streaming, es.py:291-296)."""
+    out = _eval_rounds(
+        env, model, theta, table, key, tslimit, sigma, npairs, n_rounds, ctx_train,
+        ref_batch, use_pallas,
     )
     idxs, rets, srets, lens, osum, osumsq, ocount, bcs, eseeds = out
     opt_state2, theta2, ratio, gnorm = _compute_update(
@@ -286,10 +374,57 @@ def _fused_generation(
         grad_chunk,
         use_pallas,
     )
+    if num_eval > 0:
+        ev_rets, ev_lens, ev_bc = _eval_theta_body(
+            env, model, theta, eval_key, tslimit, num_eval, ctx_eval, ref_batch
+        )
+    else:
+        ev_rets = jnp.zeros((0,), jnp.float32)
+        ev_lens = jnp.zeros((0,), jnp.int32)
+        ev_bc = jnp.zeros((0, env.bc_dim), jnp.float32)
     return (
         idxs, rets, srets, lens, osum, osumsq, ocount, bcs, eseeds,
-        opt_state2, theta2, ratio, gnorm,
+        opt_state2, theta2, ratio, gnorm, ev_rets, ev_lens, ev_bc,
     )
+
+
+@partial(jax.jit, static_argnums=(0, 1, 7, 8, 9, 12, 15, 16))
+def _update_and_eval(
+    env: Env,
+    model: Model,
+    theta: jax.Array,
+    opt_state,
+    table: jax.Array,
+    noise_idxs: jax.Array,
+    proc_input: Tuple[jax.Array, jax.Array],
+    return_proc_mode: str,
+    optimizer: optim.Adam,
+    l2coeff: float,
+    eval_key: jax.Array,
+    tslimit: jax.Array,
+    num_eval: int,
+    ctx_eval=None,
+    ref_batch: Optional[jax.Array] = None,
+    use_pallas: bool = False,
+    grad_chunk: int = 256,
+):
+    """Quota-mode tail: rank/gradient/optimizer step + eval episodes in one
+    dispatch, so a quota generation costs exactly TWO host transfers —
+    one for the scanned eval rounds, one for this (the repo's fused-call
+    rule; replaces es.py:281-301 + 388-405 master/worker phases)."""
+    opt_state2, theta2, ratio, gnorm = _compute_update(
+        theta, opt_state, table, noise_idxs, return_proc_mode, proc_input,
+        optimizer, l2coeff, grad_chunk, use_pallas,
+    )
+    if num_eval > 0:
+        ev_rets, ev_lens, ev_bc = _eval_theta_body(
+            env, model, theta, eval_key, tslimit, num_eval, ctx_eval, ref_batch
+        )
+    else:
+        ev_rets = jnp.zeros((0,), jnp.float32)
+        ev_lens = jnp.zeros((0,), jnp.int32)
+        ev_bc = jnp.zeros((0, env.bc_dim), jnp.float32)
+    return opt_state2, theta2, ratio, gnorm, ev_rets, ev_lens, ev_bc
 
 
 @partial(jax.jit, static_argnums=(3,))
@@ -356,6 +491,8 @@ class ESTrainer:
             timesteps_so_far=0,
             tslimit=self.cutoff.tslimit,
         )
+        # episode-length estimate driving the quota-mode round-count guess
+        self._mean_len_est = float(self.cutoff.tslimit)
         self._tstart = time.time()
 
     # ------------------------------------------------------------------ ctx
@@ -440,16 +577,34 @@ class ESTrainer:
 
     # ----------------------------------------------------------- generation
 
+    def _npairs_round(self, cap: int) -> int:
+        """Antithetic pairs evaluated per round: explicit eval_batch wins;
+        otherwise the whole population, clipped to the HBM auto-chunk cap and
+        (host engines) the slot count."""
+        cfg = self.config
+        if cfg.eval_batch:
+            npairs = cfg.eval_batch
+        elif cfg.population_size:
+            npairs = min(max(cfg.population_size // 2, 1), cap)
+        else:
+            npairs = min(64, cap)
+        if self.is_host_env:
+            npairs = min(npairs, self.env.batch_size // 2)
+        return max(npairs, 1)
+
     def train_step(self) -> GenStats:
         cfg = self.config
         s = self.state
-        npairs_round = cfg.eval_batch or max(cfg.population_size // 2, 1) if (cfg.eval_batch or cfg.population_size) else 64
-        if self.is_host_env:
-            npairs_round = min(npairs_round, self.env.batch_size // 2)
         quota_mode = cfg.episodes_per_batch > 0 or cfg.timesteps_per_batch > 0
+        # HBM auto-chunk: keep the θ±σε batch under theta_hbm_budget bytes so
+        # pop 5000 × multi-M-param nets stream in rounds instead of
+        # materializing [P, D] (SURVEY §7 hard parts 3-4; es.py:291-296)
+        cap = max(1, int(cfg.theta_hbm_budget) // (2 * self.model.num_params * 4))
+        npairs_round = self._npairs_round(cap)
 
         key = s.key
         ctx = self._model_ctx(noisy=True)  # training rollouts: action noise on
+        ctx_eval = self._model_ctx(noisy=False)  # eval: noiseless (es.py:393)
         all_idxs, all_rets, all_srets, all_lens = [], [], [], []
         all_bcs, all_seeds = [], []
         ob_sum = np.zeros(self.env.obs_shape, np.float32)
@@ -458,20 +613,25 @@ class ESTrainer:
         episodes = 0
         timesteps = 0
         step_tstart = time.time()
+        tslimit_dev = jnp.asarray(self.cutoff.tslimit, jnp.int32)
+        sigma_dev = jnp.asarray(cfg.noise_stdev, jnp.float32)
+        key, keval = jax.random.split(key)
 
-        # fixed-population single-round generations fuse eval+update into one
-        # compiled call (one device dispatch per generation)
-        fused = (
-            not quota_mode
-            and not self.is_host_env
-            and (cfg.population_size or 2 * npairs_round) <= 2 * npairs_round
-        )
+        # device fixed-population generations fuse rounds+update+eval into one
+        # compiled call (ONE device dispatch + ONE device_get per generation)
+        fused = not quota_mode and not self.is_host_env
         fused_update = None
+        eval_rets = eval_lens = np.zeros((0,), np.float32)
+        eval_bc = np.zeros((0, getattr(self.env, "bc_dim", 0)), np.float32)
+        eval_done = False
         if fused:
+            total_pairs = max((cfg.population_size or 2 * npairs_round) // 2, 1)
+            npairs_round = min(npairs_round, total_pairs)
+            n_rounds = -(-total_pairs // npairs_round)
             key, kround = jax.random.split(key)
             (
                 idxs, rets, srets, lens, osum, osumsq, ocount, bcs, eseeds,
-                opt_state_new, theta_new, ratio_f, gnorm_f,
+                opt_state_new, theta_new, ratio_f, gnorm_f, ev_r, ev_l, ev_b,
             ) = _fused_generation(
                 self.env,
                 self.model,
@@ -479,23 +639,28 @@ class ESTrainer:
                 s.opt_state,
                 self.noise.noise,
                 kround,
-                jnp.asarray(self.cutoff.tslimit, jnp.int32),
+                tslimit_dev,
                 npairs_round,
-                jnp.asarray(cfg.noise_stdev, jnp.float32),
+                n_rounds,
+                cfg.num_eval_episodes,
+                sigma_dev,
                 cfg.return_proc_mode,
                 self.optimizer,
                 cfg.l2coeff,
                 ctx,
+                ctx_eval,
                 cfg.use_pallas_grad,
                 self.ref_batch,
+                keval,
                 cfg.grad_chunk,
             )
             # one batched host transfer for all per-gen diagnostics
             (
                 idxs, rets, srets, lens, osum, osumsq, ocount, bcs, eseeds,
-                ratio_f, gnorm_f,
+                ratio_f, gnorm_f, eval_rets, eval_lens, eval_bc,
             ) = jax.device_get(
-                (idxs, rets, srets, lens, osum, osumsq, ocount, bcs, eseeds, ratio_f, gnorm_f)
+                (idxs, rets, srets, lens, osum, osumsq, ocount, bcs, eseeds,
+                 ratio_f, gnorm_f, ev_r, ev_l, ev_b)
             )
             all_idxs.append(idxs)
             all_rets.append(rets)
@@ -506,47 +671,82 @@ class ESTrainer:
             ob_sum += osum
             ob_sumsq += osumsq
             ob_count += float(ocount)
-            episodes += 2 * npairs_round
+            episodes += 2 * npairs_round * n_rounds
             timesteps += int(lens.sum())
             fused_update = (opt_state_new, theta_new, ratio_f, gnorm_f)
-
-        while not fused:
-            key, kround = jax.random.split(key)
-            if self.is_host_env:
-                idxs, rets, srets, lens, osum, osumsq, ocount, bcs, eseeds = self._host_round(
-                    s.theta, kround, npairs_round, ctx
+            eval_done = True
+        elif quota_mode and not self.is_host_env:
+            # quota mode on a device env: estimate the round count for BOTH
+            # quotas (es.py:230 dual condition), scan them in one dispatch,
+            # top up only if episode lengths came in under the estimate —
+            # ≤2 host transfers per generation in the common case
+            while True:
+                remaining_ep = max(cfg.episodes_per_batch - episodes, 0)
+                remaining_ts = max(cfg.timesteps_per_batch - timesteps, 0)
+                r_ep = -(-remaining_ep // (2 * npairs_round)) if remaining_ep else 0
+                r_ts = (
+                    -(-remaining_ts // int(2 * npairs_round * max(self._mean_len_est, 1.0)))
+                    if remaining_ts
+                    else 0
                 )
-            else:
-                idxs, rets, srets, lens, osum, osumsq, ocount, bcs, eseeds = _eval_perturbed_round(
+                n_rounds = max(r_ep, r_ts, 1 if episodes == 0 else 0)
+                if n_rounds == 0:
+                    break
+                key, kround = jax.random.split(key)
+                idxs, rets, srets, lens, osum, osumsq, ocount, bcs, eseeds = _eval_rounds(
                     self.env,
                     self.model,
                     s.theta,
                     self.noise.noise,
                     kround,
-                    jnp.asarray(self.cutoff.tslimit, jnp.int32),
-                    jnp.asarray(cfg.noise_stdev, jnp.float32),
+                    tslimit_dev,
+                    sigma_dev,
                     npairs_round,
+                    n_rounds,
                     ctx,
                     self.ref_batch,
                     cfg.use_pallas_grad,
                 )
-            all_idxs.append(np.asarray(idxs))
-            all_rets.append(np.asarray(rets))
-            all_srets.append(np.asarray(srets))
-            all_lens.append(np.asarray(lens))
-            all_bcs.append(np.asarray(bcs))
-            all_seeds.append(np.asarray(eseeds))
-            ob_sum += np.asarray(osum)
-            ob_sumsq += np.asarray(osumsq)
-            ob_count += float(ocount)
-            episodes += 2 * npairs_round
-            timesteps += int(np.asarray(lens).sum())
-            if quota_mode:
+                (idxs, rets, srets, lens, osum, osumsq, ocount, bcs, eseeds) = jax.device_get(
+                    (idxs, rets, srets, lens, osum, osumsq, ocount, bcs, eseeds)
+                )
+                all_idxs.append(idxs)
+                all_rets.append(rets)
+                all_srets.append(srets)
+                all_lens.append(lens)
+                all_bcs.append(bcs)
+                all_seeds.append(eseeds)
+                ob_sum += osum
+                ob_sumsq += osumsq
+                ob_count += float(ocount)
+                episodes += 2 * npairs_round * n_rounds
+                timesteps += int(lens.sum())
+                self._mean_len_est = max(float(np.mean(lens)), 1.0)
                 if episodes >= cfg.episodes_per_batch and timesteps >= cfg.timesteps_per_batch:
                     break
-            else:
-                if episodes >= (cfg.population_size or 2 * npairs_round):
-                    break
+        else:
+            while True:
+                key, kround = jax.random.split(key)
+                idxs, rets, srets, lens, osum, osumsq, ocount, bcs, eseeds = self._host_round(
+                    s.theta, kround, npairs_round, ctx
+                )
+                all_idxs.append(np.asarray(idxs))
+                all_rets.append(np.asarray(rets))
+                all_srets.append(np.asarray(srets))
+                all_lens.append(np.asarray(lens))
+                all_bcs.append(np.asarray(bcs))
+                all_seeds.append(np.asarray(eseeds))
+                ob_sum += np.asarray(osum)
+                ob_sumsq += np.asarray(osumsq)
+                ob_count += float(ocount)
+                episodes += 2 * npairs_round
+                timesteps += int(np.asarray(lens).sum())
+                if quota_mode:
+                    if episodes >= cfg.episodes_per_batch and timesteps >= cfg.timesteps_per_batch:
+                        break
+                else:
+                    if episodes >= (cfg.population_size or 2 * npairs_round):
+                        break
 
         noise_idxs = np.concatenate(all_idxs)
         returns_n2 = np.concatenate(all_rets)
@@ -555,32 +755,34 @@ class ESTrainer:
         bcs_n2 = np.concatenate(all_bcs)
         ep_seeds_n = np.concatenate(all_seeds)
 
-        # eval episodes (noiseless θ)
-        key, keval = jax.random.split(key)
-        ctx = self._model_ctx(noisy=False)  # eval: noiseless (es.py:393)
-        if cfg.num_eval_episodes > 0:
-            if self.is_host_env:
-                eval_rets, eval_lens, eval_bc = self._host_eval(s.theta, keval, ctx)
-            else:
-                eval_rets, eval_lens, eval_bc = _eval_theta(
-                    self.env,
-                    self.model,
-                    s.theta,
-                    keval,
-                    jnp.asarray(self.cutoff.tslimit, jnp.int32),
-                    cfg.num_eval_episodes,
-                    ctx,
-                    self.ref_batch,
-                )
-            eval_rets, eval_lens = np.asarray(eval_rets), np.asarray(eval_lens)
-            eval_bc = np.asarray(eval_bc)
-        else:
-            eval_rets = eval_lens = np.zeros((0,), np.float32)
-            eval_bc = np.zeros((0, getattr(self.env, "bc_dim", 0)), np.float32)
-
-        # gradient + optimizer step (already folded in on the fused path)
+        # gradient + optimizer step + eval episodes (folded into the fused
+        # dispatch on the fixed-pop path; one fused tail dispatch otherwise)
         if fused_update is not None:
             opt_state, theta, ratio, gnorm = fused_update
+        elif not self.is_host_env:
+            opt_state, theta, ratio, gnorm, eval_rets, eval_lens, eval_bc = _update_and_eval(
+                self.env,
+                self.model,
+                s.theta,
+                s.opt_state,
+                self.noise.noise,
+                jnp.asarray(noise_idxs),
+                (jnp.asarray(returns_n2), jnp.asarray(signreturns_n2)),
+                cfg.return_proc_mode,
+                self.optimizer,
+                cfg.l2coeff,
+                keval,
+                tslimit_dev,
+                cfg.num_eval_episodes,
+                ctx_eval,
+                self.ref_batch,
+                cfg.use_pallas_grad,
+                cfg.grad_chunk,
+            )
+            eval_rets, eval_lens, eval_bc = jax.device_get((eval_rets, eval_lens, eval_bc))
+            eval_rets, eval_lens = np.asarray(eval_rets), np.asarray(eval_lens)
+            eval_bc = np.asarray(eval_bc)
+            eval_done = True
         else:
             opt_state, theta, ratio, gnorm = _compute_update(
                 s.theta,
@@ -594,6 +796,11 @@ class ESTrainer:
                 cfg.grad_chunk,
                 cfg.use_pallas_grad,
             )
+
+        if not eval_done and cfg.num_eval_episodes > 0:
+            eval_rets, eval_lens, eval_bc = self._host_eval(s.theta, keval, ctx_eval)
+            eval_rets, eval_lens = np.asarray(eval_rets), np.asarray(eval_lens)
+            eval_bc = np.asarray(eval_bc)
 
         # obs stats (es.py:246-248 increment path)
         ob_stat = s.ob_stat

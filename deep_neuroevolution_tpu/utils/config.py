@@ -201,7 +201,7 @@ def load_experiment(
             noise_stdev=c.get("noise_stdev", 0.02),
             episodes_per_batch=int(overrides.get("episodes_per_batch", c.get("episodes_per_batch", 0))),
             timesteps_per_batch=int(overrides.get("timesteps_per_batch", c.get("timesteps_per_batch", 0))),
-            population_size=int(overrides.get("population_size", 0)),
+            population_size=int(overrides.get("population_size", exp.get("population_size", 0))),
             calc_obstat_prob=c.get("calc_obstat_prob", 0.0),
             eval_prob=eval_prob,
             snapshot_freq=int(c.get("snapshot_freq", 0)),

@@ -61,6 +61,9 @@ class GAConfig:
     episode_cutoff_mode: Any = "env_default"
     timesteps: float = 1.5e9  # training budget (ga_atari_config.json)
     eval_batch: int = 0  # rollout chunk; 0 → population_size
+    theta_hbm_budget: int = 2**31  # bytes allowed for a live offspring-θ chunk;
+    #   synthesis+eval stream in rounds so pop 1000 × 4M-param nets never
+    #   materialize [P, D] (SURVEY §7 hard parts 3-4)
     genome_style: str = "gpu"  # 'gpu' (idx,power) | 'cpu' (reinit + global stdev)
     noise_stdev: float = 0.002  # CPU-style chain mutation stdev (frostbite_ga.json)
     vine_snapshot_dir: str = ""  # per-generation BC cloud dumps (ga_modified.py:22-64)
@@ -120,6 +123,67 @@ def _mutate_thetas(
     eps = jax.vmap(lambda i: jax.lax.dynamic_slice(table, (i,), (dim,)))(midx)
     thetas = parent_thetas[pidx] + power * eps
     return pidx, midx, thetas
+
+
+@partial(jax.jit, static_argnums=(0, 1, 4, 5, 6, 7))
+def _ga_gen_rounds(
+    env: Env,
+    model: Model,
+    parent_thetas: jax.Array,  # [T, D]; ignored when randomize
+    table: jax.Array,
+    chunk: int,
+    n_rounds: int,
+    randomize: bool,
+    cpu_init: bool,
+    key: jax.Array,
+    tslimit: jax.Array,
+    power: jax.Array,
+    scale_by: jax.Array,
+    ctx=None,
+    ref_batch: Optional[jax.Array] = None,
+):
+    """Offspring synthesis FUSED with fitness evaluation, streamed in
+    `n_rounds` scanned rounds of `chunk` offspring each — the whole GA
+    fitness pass (gpu ga.py:122-129 make_offspring + ga.py:166-168 one
+    episode each) is ONE dispatch, and only [chunk, D] offspring parameters
+    are ever live. Returns (pidx, midx, returns, lengths, bcs) flattened to
+    [n_rounds·chunk, ...]."""
+    dim = model.num_params
+    act_fn = model.make_batch_act()
+    keys = jax.random.split(key, n_rounds)
+
+    def body(carry, rkey):
+        kp, km, kroll = jax.random.split(rkey, 3)
+        midx = jax.random.randint(km, (chunk,), 0, table.shape[0] - dim + 1, dtype=jnp.int32)
+        eps = jax.vmap(lambda i: jax.lax.dynamic_slice(table, (i,), (dim,)))(midx)
+        if randomize:
+            pidx = jnp.zeros((chunk,), jnp.int32)
+            if cpu_init:  # normalized-column reinit (es ga.py:256-260)
+                thetas = jax.vmap(model.reinit_theta)(eps)
+            else:
+                thetas = eps * scale_by[None, :]  # base.py:121-125 randomize
+        else:
+            pidx = jax.random.randint(kp, (chunk,), 0, parent_thetas.shape[0], dtype=jnp.int32)
+            thetas = parent_thetas[pidx] + power * eps  # base.py:148-156 mutate
+        if model.needs_ref_batch:
+            stats = model.batch_ref_stats(thetas, ref_batch)
+            params = (thetas, stats)
+        else:
+            params = (thetas, ctx)
+        res = rollout_batch(env, act_fn, params, jax.random.split(kroll, chunk), tslimit)
+        return carry, (pidx, midx, res.returns, res.lengths, res.bc)
+
+    _, outs = jax.lax.scan(body, None, keys)
+    return jax.tree_util.tree_map(lambda x: x.reshape((-1,) + x.shape[2:]), outs)
+
+
+@partial(jax.jit, static_argnums=())
+def _tail_reconstruct(parent_rows: jax.Array, table: jax.Array, midx: jax.Array, powers: jax.Array):
+    """θ = parent + power·ε(midx) for a batch of chains whose prefix hit the
+    parent cache (base.py:127-138 cache shortcut, vectorized)."""
+    dim = parent_rows.shape[1]
+    eps = jax.vmap(lambda i: jax.lax.dynamic_slice(table, (i,), (dim,)))(midx)
+    return parent_rows + powers[:, None] * eps
 
 
 @partial(jax.jit, static_argnums=(0, 1))
@@ -239,17 +303,18 @@ class GATrainer:
     def _eval_chunked(self, thetas, tslimit, episodes_per=1):
         """Evaluate [N, D] thetas, `episodes_per` episodes each, chunked by
         eval_batch (device envs) or the engine slot count (host envs).
+        Repeats are indexed per chunk, never materialized [N·episodes, D].
         Returns returns [N, episodes_per], lengths likewise."""
         cfg = self.config
         N = thetas.shape[0]
-        if episodes_per > 1:
-            thetas = jnp.repeat(thetas, episodes_per, axis=0)
-        total = thetas.shape[0]
+        total = N * episodes_per
+        idx_map = np.repeat(np.arange(N), episodes_per)
         is_host = getattr(self.env, "is_host_env", False)
-        chunk = self.env.batch_size if is_host else (cfg.eval_batch or total)
+        cap = max(1, int(cfg.theta_hbm_budget) // (self.model.num_params * 4))
+        chunk = self.env.batch_size if is_host else min(cfg.eval_batch or total, cap, total)
         rets, lens, bcs = [], [], []
         for s in range(0, total, chunk):
-            part = thetas[s : s + chunk]
+            part = jnp.take(thetas, jnp.asarray(idx_map[s : s + chunk]), axis=0)
             if is_host:
                 r, l, bc = self._eval_host(part, tslimit)
             else:
@@ -299,32 +364,82 @@ class GATrainer:
         power = float(
             np.asarray(self.mutation_power.value(iteration=st.it, frames=st.timesteps_so_far))
         )
+        if cfg.genome_style == "cpu":
+            # CPU chains mutate with the global noise_stdev and store bare
+            # indices (es_distributed/ga.py:262-263); keep synthesis and
+            # reconstruction bit-consistent
+            power = cfg.noise_stdev
 
-        # ---- offspring synthesis (gpu ga.py:122-129 make_offspring)
+        # ---- offspring synthesis FUSED with fitness (gpu ga.py:122-129
+        # make_offspring + ga.py:166-168 one episode each), streamed in
+        # rounds of `chunk` so only [chunk, D] offspring θs are ever live
         n = cfg.population_size
-        if not self.cached_parent_seeds:
-            idxs, thetas = _randomize_thetas(self.noise.noise, self._next_key(), n, dim, self.scale_by)
-            idxs = np.asarray(idxs)
-            chains = [(int(idxs[i]),) for i in range(n)]
-        else:
-            pidx, midx, thetas = _mutate_thetas(
-                self.cached_parent_thetas,
-                self.noise.noise,
-                self._next_key(),
-                n,
-                dim,
-                jnp.asarray(power, jnp.float32),
+        randomize = not self.cached_parent_seeds
+        is_host = getattr(self.env, "is_host_env", False)
+        cap = max(1, int(cfg.theta_hbm_budget) // (dim * 4))
+        chunk = min(self.env.batch_size, n) if is_host else min(cfg.eval_batch or n, cap, n)
+        n_rounds = -(-n // chunk)
+        if is_host:
+            pidx_l, midx_l, rets_l, lens_l, bcs_l = [], [], [], [], []
+            for _ in range(n_rounds):
+                if randomize:
+                    midx_r, thetas_r = _randomize_thetas(
+                        self.noise.noise, self._next_key(), chunk, dim, self.scale_by
+                    )
+                    if cfg.genome_style == "cpu":
+                        raw = jax.vmap(
+                            lambda i: jax.lax.dynamic_slice(self.noise.noise, (i,), (dim,))
+                        )(midx_r)
+                        thetas_r = jax.vmap(self.model.reinit_theta)(raw)
+                    pidx_r = jnp.zeros((chunk,), jnp.int32)
+                else:
+                    pidx_r, midx_r, thetas_r = _mutate_thetas(
+                        self.cached_parent_thetas,
+                        self.noise.noise,
+                        self._next_key(),
+                        chunk,
+                        dim,
+                        jnp.asarray(power, jnp.float32),
+                    )
+                r, l, bc = self._eval_host(thetas_r, self.cutoff.tslimit)
+                pidx_l.append(np.asarray(pidx_r))
+                midx_l.append(np.asarray(midx_r))
+                rets_l.append(np.asarray(r))
+                lens_l.append(np.asarray(l))
+                bcs_l.append(np.asarray(bc))
+            pidx, midx = np.concatenate(pidx_l), np.concatenate(midx_l)
+            rewards, lengths, bcs0 = (
+                np.concatenate(rets_l), np.concatenate(lens_l), np.concatenate(bcs_l),
             )
-            pidx, midx = np.asarray(pidx), np.asarray(midx)
+        else:
+            out = _ga_gen_rounds(
+                self.env,
+                self.model,
+                jnp.zeros((1, dim), jnp.float32) if randomize else self.cached_parent_thetas,
+                self.noise.noise,
+                chunk,
+                n_rounds,
+                randomize,
+                cfg.genome_style == "cpu",
+                self._next_key(),
+                jnp.asarray(self.cutoff.tslimit, jnp.int32),
+                jnp.asarray(power, jnp.float32),
+                self.scale_by,
+                None,
+                self.ref_batch,
+            )
+            pidx, midx, rewards, lengths, bcs0 = (np.asarray(x) for x in jax.device_get(out))
+        # exact population size (rounds may overshoot by chunk alignment)
+        pidx, midx = pidx[:n], midx[:n]
+        rewards, lengths, bcs0 = rewards[:n], lengths[:n], bcs0[:n]
+        if randomize:
+            chains = [(int(midx[i]),) for i in range(n)]
+        elif cfg.genome_style == "gpu":
             chains = [
                 self.cached_parent_seeds[pidx[i]] + ((int(midx[i]), power),) for i in range(n)
             ]
-
-        # ---- fitness: one episode per offspring (gpu ga.py:166-168)
-        rets, lens, bcs = self._eval_chunked(thetas, self.cutoff.tslimit, 1)
-        rewards = rets[:, 0]
-        lengths = lens[:, 0]
-        bcs0 = bcs[:, 0]
+        else:  # cpu chains: bare indices, global noise_stdev (ga.py:250-264)
+            chains = [self.cached_parent_seeds[pidx[i]] + (int(midx[i]),) for i in range(n)]
         population_timesteps = int(lengths.sum())
 
         results = [Offspring(chains[i], float(rewards[i]), int(lengths[i])) for i in range(n)]
@@ -348,7 +463,7 @@ class GATrainer:
 
         val_timesteps = 0
         if cfg.validation_threshold > 0 and cfg.num_validation_episodes > 0:
-            vthetas = jnp.stack([self._lookup_theta(o.seeds, thetas, chains) for o in validation_population])
+            vthetas = jnp.stack([self._lookup_theta(o.seeds) for o in validation_population])
             vrets, vlens, _ = self._eval_chunked(
                 vthetas, self.cutoff.tslimit, cfg.num_validation_episodes
             )
@@ -357,7 +472,7 @@ class GATrainer:
             elite_idx = int(np.argmax(population_validation))
             st.elite = validation_population[elite_idx]
             # ---- elite test episodes
-            etheta = self._lookup_theta(st.elite.seeds, thetas, chains)[None]
+            etheta = self._lookup_theta(st.elite.seeds)[None]
             trets, tlens, tbcs = self._eval_chunked(
                 etheta, self.env.default_timestep_cutoff, cfg.num_test_episodes
             )
@@ -378,10 +493,12 @@ class GATrainer:
             parents = st.population[: cfg.selection_threshold]
             if st.elite is not None and st.elite.seeds not in [o.seeds for o in parents]:
                 parents = [st.elite] + parents[: cfg.selection_threshold - 1]
-            self.cached_parent_seeds = [o.seeds for o in parents]
-            self.cached_parent_thetas = jnp.stack(
-                [self._lookup_theta(s, thetas, chains) for s in self.cached_parent_seeds]
-            )
+            new_seeds = [o.seeds for o in parents]
+            # resolve against the OLD cache before replacing it — every new
+            # parent is either an old parent or old-parent + one mutation
+            new_thetas = jnp.stack([self._lookup_theta(s) for s in new_seeds])
+            self.cached_parent_seeds = new_seeds
+            self.cached_parent_thetas = new_thetas
         else:
             self.cached_parent_seeds = []
             self.cached_parent_thetas = None
@@ -452,22 +569,32 @@ class GATrainer:
                     tlens[0],
                     float(power),
                     model=self.model,
-                    theta=np.asarray(self._lookup_theta(st.elite.seeds, thetas, chains)),
+                    theta=np.asarray(self._lookup_theta(st.elite.seeds)),
                     ref_batch=self.ref_batch,
                 )
 
         return st
 
-    def _lookup_theta(self, seeds: Tuple, gen_thetas: jax.Array, gen_chains: List[Tuple]):
-        """Find θ for a chain: this generation's batch, the parent cache, or
-        full reconstruction (the cache-hit hierarchy of base.py:127-138)."""
-        try:
-            i = gen_chains.index(seeds)
-            return gen_thetas[i]
-        except ValueError:
-            pass
+    def _lookup_theta(self, seeds: Tuple):
+        """θ for a chain: parent-cache hit, cached-prefix + one mutation
+        (the cache-hit hierarchy of base.py:127-138 — offspring θs are never
+        kept around, they're re-derived from the cached parent in one fused
+        gather+axpy), else full chain reconstruction."""
         if seeds in self.cached_parent_seeds:
             return self.cached_parent_thetas[self.cached_parent_seeds.index(seeds)]
+        if len(seeds) > 1 and seeds[:-1] in self.cached_parent_seeds:
+            parent = self.cached_parent_thetas[self.cached_parent_seeds.index(seeds[:-1])]
+            tail = seeds[-1]
+            m, p = tail if isinstance(tail, tuple) else (tail, self.config.noise_stdev)
+            return _tail_reconstruct(
+                parent[None], self.noise.noise,
+                jnp.asarray([m], jnp.int32), jnp.asarray([p], jnp.float32),
+            )[0]
+        if len(seeds) == 1 and self.config.genome_style == "gpu":
+            # fresh genome: ε(idx)·scale_by (base.py:121-125); cpu style
+            # instead reinits normalized columns — handled by _reconstruct
+            idx = seeds[0][0] if isinstance(seeds[0], tuple) else seeds[0]
+            return self.noise.get(jnp.int32(idx), self.model.num_params) * self.scale_by
         return self._reconstruct(seeds)
 
     def train(self, max_iterations: int = 10**9):

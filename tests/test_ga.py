@@ -130,3 +130,55 @@ class TestRS:
         assert all(len(o.seeds) == 1 for o in st.population)  # never mutates
         assert tr.best_score > float("-inf")
         assert tr.best_seeds is not None
+
+
+class TestChunkedSynthesis:
+    """Offspring synthesis+eval streams in rounds: [P, D] never materializes
+    (SURVEY §7 hard parts 3-4; VERDICT r1 weak #3)."""
+
+    def test_hbm_budget_chunks_and_learns(self):
+        _silence()
+        env = CartPoleEnv()
+        model = LinearClassifier(obs_dim=4, num_actions=2)
+        budget = 4 * model.num_params * 4  # 4 offspring θ rows at a time
+        cfg = GAConfig(
+            population_size=32, selection_threshold=4, validation_threshold=2,
+            num_validation_episodes=2, num_test_episodes=2, mutation_power=0.1,
+            theta_hbm_budget=budget, timesteps=1e9,
+        )
+        tr = GATrainer(env, model, cfg, noise_table=NoiseTable.from_seed(count=200_000), seed=0)
+        st = tr.train_step()
+        assert len(st.population) == 32
+        st = tr.train_step()
+        assert len(st.population) == 32
+        assert all(len(o.seeds) in (1, 2) for o in st.population)
+
+    def test_prefix_lookup_matches_full_reconstruction(self):
+        _silence()
+        tr = _mk()
+        tr.train_step()
+        tr.train_step()  # population now has 2-seed chains, cache populated
+        chain = next(o.seeds for o in tr.state.population if len(o.seeds) == 2)
+        via_lookup = np.asarray(tr._lookup_theta(chain))
+        via_full = np.asarray(tr._reconstruct(chain))
+        np.testing.assert_allclose(via_lookup, via_full, atol=1e-6)
+
+    def test_cpu_style_chains_are_bare_indices(self):
+        """es_distributed/ga.py:254 chains carry bare ints after gen 0."""
+        _silence()
+        env = CartPoleEnv()
+        model = LinearClassifier(obs_dim=4, num_actions=2)
+        cfg = GAConfig(
+            population_size=16, selection_threshold=4, validation_threshold=2,
+            num_validation_episodes=2, num_test_episodes=2,
+            genome_style="cpu", noise_stdev=0.1, mutation_power=0.1, timesteps=1e9,
+        )
+        tr = GATrainer(env, model, cfg, noise_table=NoiseTable.from_seed(count=200_000), seed=0)
+        tr.train_step()
+        st = tr.train_step()
+        two = [o.seeds for o in st.population if len(o.seeds) == 2]
+        assert two and all(isinstance(s[1], int) for s in two)
+        # reconstruction of a cpu chain goes reinit + σ·ε and matches lookup
+        via_lookup = np.asarray(tr._lookup_theta(two[0]))
+        via_full = np.asarray(tr._reconstruct(two[0]))
+        np.testing.assert_allclose(via_lookup, via_full, atol=1e-6)

@@ -802,6 +802,23 @@ class ESTrainer:
             eval_rets, eval_lens = np.asarray(eval_rets), np.asarray(eval_lens)
             eval_bc = np.asarray(eval_bc)
 
+        return self._finalize_generation(
+            key, opt_state, theta, ratio, gnorm, noise_idxs, returns_n2,
+            lengths_n2, bcs_n2, ep_seeds_n, eval_rets, eval_lens, eval_bc,
+            ob_sum, ob_sumsq, ob_count, episodes, timesteps, step_tstart,
+        )
+
+    def _finalize_generation(
+        self, key, opt_state, theta, ratio, gnorm, noise_idxs, returns_n2,
+        lengths_n2, bcs_n2, ep_seeds_n, eval_rets, eval_lens, eval_bc,
+        ob_sum, ob_sumsq, ob_count, episodes, timesteps, step_tstart,
+    ) -> GenStats:
+        """Shared post-update tail: obstat merge, cutoff curriculum, state
+        swap, reference-named diagnostics (es.py:314-343), VINE dumps.
+        parallel/trainers.py's pod trainers reuse this with their gathered
+        global results."""
+        cfg = self.config
+        s = self.state
         # obs stats (es.py:246-248 increment path)
         ob_stat = s.ob_stat
         if self.model.needs_ob_stat and ob_count > 0 and cfg.calc_obstat_prob > 0:
@@ -824,6 +841,10 @@ class ESTrainer:
 
         # ----------------------------------------------------- diagnostics
         step_tend = time.time()
+        if not getattr(self, "_log_enabled", True):
+            return GenStats(
+                returns_n2, lengths_n2, eval_rets, eval_lens, float(gnorm), float(ratio)
+            )
         tlogger.record_tabular("EpRewMean", returns_n2.mean())
         tlogger.record_tabular("EpRewStd", returns_n2.std())
         tlogger.record_tabular("EpLenMean", lengths_n2.mean())

@@ -372,9 +372,31 @@ class GATrainer:
 
         # ---- offspring synthesis FUSED with fitness (gpu ga.py:122-129
         # make_offspring + ga.py:166-168 one episode each), streamed in
-        # rounds of `chunk` so only [chunk, D] offspring θs are ever live
+        # rounds so only [chunk, D] offspring θs are ever live
         n = cfg.population_size
         randomize = not self.cached_parent_seeds
+        pidx, midx, rewards, lengths, bcs0 = self._fitness_pass(n, power, randomize)
+        # exact population size (rounds may overshoot by chunk alignment)
+        pidx, midx = pidx[:n], midx[:n]
+        rewards, lengths, bcs0 = rewards[:n], lengths[:n], bcs0[:n]
+        if randomize:
+            chains = [(int(midx[i]),) for i in range(n)]
+        elif cfg.genome_style == "gpu":
+            chains = [
+                self.cached_parent_seeds[pidx[i]] + ((int(midx[i]), power),) for i in range(n)
+            ]
+        else:  # cpu chains: bare indices, global noise_stdev (ga.py:250-264)
+            chains = [self.cached_parent_seeds[pidx[i]] + (int(midx[i]),) for i in range(n)]
+        return self._selection_and_ladder(
+            chains, rewards, lengths, bcs0, power, tstart_iter
+        )
+
+    def _fitness_pass(self, n: int, power: float, randomize: bool):
+        """Synthesize + evaluate n offspring, one episode each; returns host
+        numpy (pidx, midx, rewards, lengths, bcs). Overridden by the pod
+        trainer to shard the population over the mesh."""
+        cfg = self.config
+        dim = self.model.num_params
         is_host = getattr(self.env, "is_host_env", False)
         cap = max(1, int(cfg.theta_hbm_budget) // (dim * 4))
         chunk = min(self.env.batch_size, n) if is_host else min(cfg.eval_batch or n, cap, n)
@@ -429,17 +451,14 @@ class GATrainer:
                 self.ref_batch,
             )
             pidx, midx, rewards, lengths, bcs0 = (np.asarray(x) for x in jax.device_get(out))
-        # exact population size (rounds may overshoot by chunk alignment)
-        pidx, midx = pidx[:n], midx[:n]
-        rewards, lengths, bcs0 = rewards[:n], lengths[:n], bcs0[:n]
-        if randomize:
-            chains = [(int(midx[i]),) for i in range(n)]
-        elif cfg.genome_style == "gpu":
-            chains = [
-                self.cached_parent_seeds[pidx[i]] + ((int(midx[i]), power),) for i in range(n)
-            ]
-        else:  # cpu chains: bare indices, global noise_stdev (ga.py:250-264)
-            chains = [self.cached_parent_seeds[pidx[i]] + (int(midx[i]),) for i in range(n)]
+        return pidx, midx, rewards, lengths, bcs0
+
+    def _selection_and_ladder(self, chains, rewards, lengths, bcs0, power, tstart_iter):
+        """Truncation selection, validation ladder, elite test, parent cache
+        rebuild, counters and diagnostics (gpu ga.py:180-271)."""
+        cfg = self.config
+        st = self.state
+        n = len(chains)
         population_timesteps = int(lengths.sum())
 
         results = [Offspring(chains[i], float(rewards[i]), int(lengths[i])) for i in range(n)]
@@ -511,6 +530,9 @@ class GATrainer:
         self.cutoff = update_cutoff(self.cutoff, lengths)
         dt = time.time() - tstart_iter
         st.time_elapsed += dt
+
+        if not getattr(self, "_log_enabled", True):
+            return st
 
         tlogger.record_tabular("Iteration", st.it)
         tlogger.record_tabular("MutationPower", power)

@@ -49,8 +49,13 @@ class NSESConfig(ESConfig):
     meta_population_size: int = 3  # novelty_search.population_size
     num_rollouts: int = 1  # BC-averaging rollouts (novelty_search.num_rollouts)
     selection_method: str = "novelty_prob"  # | 'round_robin'
-    archive_capacity: int = 10_000
+    archive_capacity: int = 10_000  # initial; the archive doubles when full
     return_proc_mode: str = "centered_sign_rank"  # frostbite_nses.json
+    bc_mode: str = "final"  # 'traj' = the Atari per-step RAM trajectory BC
+    #   (ESAtariPolicy.rollout appends the 128-byte RAM at EVERY step,
+    #   policies.py:410-418) scored with the length-tolerant euclidean
+    #   (nses.py:12-20); host image engines only. 'final' keeps the
+    #   device-array final-state BC (maze x-y, MuJoCo mass center).
 
 
 class Parent(NamedTuple):
@@ -190,6 +195,15 @@ class NSESTrainer:
         self.key = jax.random.PRNGKey(seed)
         self.cutoff = parse_cutoff(config.episode_cutoff_mode, env.default_timestep_cutoff)
         self.archive = novelty.archive_init(config.archive_capacity, env.bc_dim)
+        self.traj_bc = config.bc_mode == "traj"
+        if self.traj_bc:
+            assert self.is_host_env and getattr(env, "host_obs", "image") == "image", (
+                "bc_mode='traj' is the Atari RAM-per-step BC (policies.py:410-418) "
+                "— host image engines only"
+            )
+            # ragged trajectories live in a host list, the direct analog of
+            # the Redis archive list (dist.py:92-98)
+            self.host_archive: List[np.ndarray] = []
         self.ref_batch = None
         if model.needs_ref_batch:
             if self.is_host_env:
@@ -211,7 +225,7 @@ class NSESTrainer:
             )
             self.parents.append(parent)
             bc = self._mean_bc_dispatch(theta, self._next_key(), self._ctx(parent))
-            self.archive = novelty.archive_add(self.archive, bc)
+            self._archive_add(bc)
 
         self.curr_parent = 0
         self.iteration = 0
@@ -222,6 +236,35 @@ class NSESTrainer:
     def _next_key(self):
         self.key, k = jax.random.split(self.key)
         return k
+
+    # ------------------------------------------------- archive abstraction
+    # device Archive array (final-state BCs) vs host list (ragged RAM
+    # trajectories) — one insertion + one kNN surface for both
+
+    def _archive_add(self, bc) -> None:
+        if self.traj_bc:
+            self.host_archive.append(np.asarray(bc))
+        else:
+            self.archive = novelty.archive_add(self.archive, bc)
+
+    def _archive_size(self) -> int:
+        return len(self.host_archive) if self.traj_bc else int(self.archive.count)
+
+    def _archive_novelty(self, bcs) -> np.ndarray:
+        """k-NN novelty of each BC vs the archive. Ragged trajectories go
+        through the length-tolerant euclidean (nses.py:12-32); device BCs
+        through the fused pairwise top-k."""
+        if self.traj_bc:
+            return np.array(
+                [
+                    novelty.compute_novelty_vs_archive(self.host_archive, b, self.config.k)
+                    for b in bcs
+                ],
+                np.float32,
+            )
+        if isinstance(bcs, (list, tuple)):
+            bcs = jnp.stack(list(bcs))
+        return np.asarray(novelty.novelty_vs_archive(self.archive, bcs, self.config.k))
 
     def _ctx(self, parent: Parent, noisy: bool = False):
         """`noisy=True` for perturbed training rollouts (nses.py:374-380
@@ -240,9 +283,11 @@ class NSESTrainer:
     # ------------------------------------------------------- host-env paths
 
     def _host_perturbed_eval(self, theta, key, npairs, ctx):
-        """Host-engine analog of _perturbed_eval_with_bc: BC = final RAM
-        state (tf_atari.cpp:114-119; the CPU stack's per-step RAM trajectory
-        BC, policies.py:410-418, reduces to the final state here)."""
+        """Host-engine analog of _perturbed_eval_with_bc. BC mode:
+        * 'traj' — per-step RAM trajectory (policies.py:410-418) scored with
+          the length-tolerant euclidean kNN (nses.py:12-32), the reference's
+          Atari NS-ES characterization;
+        * 'final' — final RAM state (tf_atari.cpp:114-119)."""
         from .es import _make_antithetic
         from .rollout_host import rollout_host
 
@@ -259,8 +304,12 @@ class NSESTrainer:
         res = rollout_host(
             self.env, self.model.make_batch_act(), params, key, int(self.cutoff.tslimit),
             collect_obstat=self.model.needs_ob_stat and cfg.calc_obstat_prob > 0,
+            collect_bc_traj=self.traj_bc,
         )
-        nov = novelty.novelty_vs_archive(self.archive, res.bc[: 2 * npairs], cfg.k)
+        if self.traj_bc:
+            nov = jnp.asarray(self._archive_novelty(res.bc_traj[: 2 * npairs]))
+        else:
+            nov = novelty.novelty_vs_archive(self.archive, res.bc[: 2 * npairs], cfg.k)
         pair = lambda x: jnp.stack([x[:npairs], x[npairs : 2 * npairs]], axis=1)
         return (
             idxs, pair(res.returns), pair(nov), pair(res.lengths),
@@ -282,8 +331,16 @@ class NSESTrainer:
             params = (thetas, ctx)
         res = rollout_host(
             self.env, self.model.make_batch_act(), params, key,
-            int(self.cutoff.tslimit_max),
+            int(self.cutoff.tslimit_max), collect_bc_traj=self.traj_bc,
         )
+        if self.traj_bc:
+            # get_mean_bc (nses.py:34-39): np.mean over rollouts — ragged
+            # trajectories are truncated to the common prefix first (the
+            # reference's np.mean requires equal lengths; the prefix mean is
+            # its defined-everywhere extension)
+            trs = res.bc_traj[:n]
+            L = min(t.shape[0] for t in trs)
+            return np.mean([t[:L] for t in trs], axis=0)
         return jnp.mean(res.bc[:n], axis=0)
 
     def _mean_bc_dispatch(self, theta, key, ctx):
@@ -343,9 +400,23 @@ class NSESTrainer:
         opt_state, theta, ratio = self.optimizer.update(
             parent.opt_state, parent.theta, -g + cfg.l2coeff * parent.theta
         )
+        return self._post_update(
+            p, theta, opt_state, float(np.square(np.asarray(g)).sum()), ratio,
+            returns_n2, novelty_n2, lengths_n2, ob_sum, ob_sumsq, ob_count,
+            step_tstart,
+        )
+
+    def _post_update(
+        self, p, theta, opt_state, gnorm, ratio, returns_n2, novelty_n2,
+        lengths_n2, ob_sum, ob_sumsq, ob_count, step_tstart,
+    ):
+        """Shared tail: obstat write-back, archive insertion, parent
+        selection, diagnostics (nses.py:241-306 + the tabular block). The pod
+        trainer reuses this with its gathered global results."""
+        cfg = self.config
         # fold this batch's obs stats into the CURRENT parent's RunningStat
         # (nses.py:197-198 increment, nses.py:291 write-back)
-        ob_stat = parent.ob_stat
+        ob_stat = self.parents[p].ob_stat
         ob_count_f = float(ob_count)
         if self.model.needs_ob_stat and cfg.calc_obstat_prob > 0 and ob_count_f > 0:
             ob_stat = obstat.increment(
@@ -369,7 +440,7 @@ class NSESTrainer:
             new_bc = bcs_m[p]
         else:
             new_bc = self._mean_bc_dispatch(theta, self._next_key(), self._ctx(self.parents[p]))
-        self.archive = novelty.archive_add(self.archive, new_bc)
+        self._archive_add(new_bc)
 
         lengths_np = np.asarray(lengths_n2)
         returns_np = np.asarray(returns_n2)
@@ -383,13 +454,11 @@ class NSESTrainer:
             if bcs_m is not None:
                 bcs = bcs_m
             else:
-                bcs = jnp.stack(
-                    [
-                        self._mean_bc_dispatch(par.theta, self._next_key(), self._ctx(par))
-                        for par in self.parents
-                    ]
-                )
-            novs = np.asarray(novelty.novelty_vs_archive(self.archive, bcs, cfg.k))
+                bcs = [
+                    self._mean_bc_dispatch(par.theta, self._next_key(), self._ctx(par))
+                    for par in self.parents
+                ]
+            novs = self._archive_novelty(bcs)
             probs = novs / novs.sum()
             self.curr_parent = int(
                 np.random.default_rng(int(jax.random.randint(self._next_key(), (), 0, 2**31 - 1))).choice(
@@ -402,20 +471,27 @@ class NSESTrainer:
             raise NotImplementedError(cfg.selection_method)
 
         step_tend = time.time()
+        if not getattr(self, "_log_enabled", True):
+            return dict(
+                parent=p,
+                returns=returns_np,
+                novelty=np.asarray(novelty_n2),
+                update_ratio=float(ratio),
+            )
         tlogger.record_tabular("ParentId", p)
         tlogger.record_tabular("EpRewMean", returns_np.mean())
         tlogger.record_tabular("EpRewStd", returns_np.std())
         tlogger.record_tabular("EpLenMean", lengths_np.mean())
         tlogger.record_tabular("EpNovMean", float(np.asarray(novelty_n2).mean()))
         tlogger.record_tabular("Norm", float(np.square(np.asarray(theta)).sum()))
-        tlogger.record_tabular("GradNorm", float(np.square(np.asarray(g)).sum()))
+        tlogger.record_tabular("GradNorm", float(gnorm))
         tlogger.record_tabular("UpdateRatio", float(ratio))
         tlogger.record_tabular("EpisodesThisIter", lengths_np.size)
         tlogger.record_tabular("EpisodesSoFar", self.episodes_so_far)
         tlogger.record_tabular("TimestepsThisIter", int(lengths_np.sum()))
         tlogger.record_tabular("TimestepsSoFar", self.timesteps_so_far)
         tlogger.record_tabular("ObCount", ob_count_f)  # nses.py:281
-        tlogger.record_tabular("ArchiveSize", int(self.archive.count))
+        tlogger.record_tabular("ArchiveSize", self._archive_size())
         tlogger.record_tabular("TimeElapsedThisIter", step_tend - step_tstart)
         tlogger.record_tabular("TimeElapsed", step_tend - self._tstart)
         tlogger.dump_tabular()

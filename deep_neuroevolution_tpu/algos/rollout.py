@@ -39,6 +39,9 @@ class RolloutResult(NamedTuple):
     ob_sum: jax.Array  # obs-stat accumulators over alive steps ([obs_shape])
     ob_sumsq: jax.Array
     ob_count: jax.Array  # scalar f32
+    bc_traj: Optional[tuple] = None  # host rollouts only: per-slot ragged
+    #   per-step BC trajectories (the Atari RAM-per-step BC of
+    #   policies.py:410-418), each [T_b·bc_dim] f32
 
 
 def _mask_tree(done, old, new):

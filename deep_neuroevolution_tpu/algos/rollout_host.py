@@ -80,6 +80,7 @@ def rollout_host_batch(
     noops: Optional[np.ndarray] = None,
     collect_obstat: bool = False,
     pipeline_groups: Optional[int] = None,
+    collect_bc_traj: bool = False,
 ) -> RolloutResult:
     """Evaluate B policies on the B host-engine slots, one episode each.
 
@@ -125,9 +126,11 @@ def rollout_host_batch(
     ob_sumsq = np.zeros((out_hw, out_hw, 4), np.float32)
     ob_count = 0.0
 
+    trajs = [[] for _ in range(B)] if collect_bc_traj else None
     for t in range(timestep_limit):
         if done.all():
             break
+        alive_t = ~done  # slots taking step t
         for g in range(G):
             galive = ~done[sls[g]]
             if not galive.any():
@@ -153,6 +156,14 @@ def rollout_host_batch(
             sret[alive_idx] += np.sign(r_sub)
             length[alive_idx] += 1
             done[alive_idx] |= d_sub
+        if collect_bc_traj:
+            # per-step BC: the RAM vector appended at EVERY policy step a
+            # slot is alive (ESAtariPolicy.rollout, policies.py:410-418) —
+            # ragged across slots, compared with the length-tolerant
+            # euclidean (nses.py:12-20)
+            ram_t = henv.final_state()
+            for b in np.nonzero(alive_t)[0]:
+                trajs[b].append(ram_t[b])
 
     bc = henv.final_state()  # RAM bytes (tf_atari.cpp:114-119) as the BC
     return RolloutResult(
@@ -163,6 +174,9 @@ def rollout_host_batch(
         jnp.asarray(ob_sum),
         jnp.asarray(ob_sumsq),
         jnp.asarray(ob_count, jnp.float32),
+        tuple(np.concatenate(tr) if tr else np.zeros(0, np.float32) for tr in trajs)
+        if collect_bc_traj
+        else None,
     )
 
 
@@ -239,6 +253,7 @@ def rollout_host(
     key: jax.Array,
     timestep_limit: int,
     collect_obstat: bool = False,
+    collect_bc_traj: bool = False,
 ) -> RolloutResult:
     """Dispatch on the host env's observation kind: 'image' engines
     (Atari/ALE, preprocess+stack on device) vs 'vector' engines (MuJoCo)."""
@@ -254,6 +269,7 @@ def rollout_host(
         timestep_limit,
         out_hw=henv.warp_size,
         collect_obstat=collect_obstat,
+        collect_bc_traj=collect_bc_traj,
     )
 
 

@@ -24,6 +24,9 @@ import os
 import sys
 
 
+_LAST_TRAINER = None  # set by cmd_train; lets tests inspect the live trainer
+
+
 def cmd_train(args) -> int:
     from .parallel import distributed
     from .utils import checkpoint, config, tabular as tlogger
@@ -43,6 +46,8 @@ def cmd_train(args) -> int:
 
     overrides = json.loads(args.overrides) if args.overrides else {}
     trainer = config.load_experiment(exp, algo=args.algo, seed=args.seed, overrides=overrides)
+    global _LAST_TRAINER  # introspection hook for the multi-process CLI test
+    _LAST_TRAINER = trainer
 
     snap_path = os.path.join(args.log_dir, "snapshot.pkl") if args.log_dir else None
     if snap_path and os.path.exists(snap_path) and not args.no_resume:

@@ -63,11 +63,26 @@ def archive_init(capacity: int, bc_dim: int) -> Archive:
 
 
 @jax.jit
-def archive_add(a: Archive, bc: jax.Array) -> Archive:
-    """Append one BC row (dist.py:92-94 RPUSH analog). Silently drops when
-    full — size capacity generously (reference archives grow by 1/iteration)."""
+def _archive_add_jit(a: Archive, bc: jax.Array) -> Archive:
     idx = jnp.minimum(a.count, a.points.shape[0] - 1)
     return Archive(a.points.at[idx].set(bc), jnp.minimum(a.count + 1, a.points.shape[0]))
+
+
+def archive_grow(a: Archive, factor: int = 2) -> Archive:
+    """Reallocate the archive at `factor`× capacity (host-side; one copy)."""
+    cap, bc_dim = a.points.shape
+    pts = jnp.zeros((cap * factor, bc_dim), jnp.float32).at[:cap].set(a.points)
+    return Archive(pts, a.count)
+
+
+def archive_add(a: Archive, bc: jax.Array) -> Archive:
+    """Append one BC row (dist.py:92-94 RPUSH analog). The reference archive
+    is an unbounded Redis list (dist.py:92-98); here the device array doubles
+    when full — amortized O(1) per insert, never dropping points. The
+    capacity check is a host sync on a scalar, once per generation."""
+    if int(a.count) >= a.points.shape[0]:
+        a = archive_grow(a)
+    return _archive_add_jit(a, bc)
 
 
 @partial(jax.jit, static_argnums=(2,))

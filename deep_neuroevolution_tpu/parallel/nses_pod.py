@@ -44,9 +44,12 @@ class PodNSGenResult(NamedTuple):
     novelty_n2: jax.Array  # [n_global, 2]
     lengths_n2: jax.Array
     noise_idxs: jax.Array  # [n_global]
-    bcs_2n: jax.Array  # [2·n_local per device, bc_dim], pop-sharded
+    bcs_n2: jax.Array  # [n_global, 2, bc_dim] pair-aligned with returns
     update_ratio: jax.Array
     grad_sq_sum: jax.Array
+    ob_sum: jax.Array  # psum'd obs-stat accumulators (replicated)
+    ob_sumsq: jax.Array
+    ob_count: jax.Array
 
 
 def make_pod_nses_step(
@@ -60,6 +63,8 @@ def make_pod_nses_step(
     l2coeff: float = 0.005,
     grad_chunk: int = 128,
     has_ref_batch: bool = False,
+    n_rounds: int = 1,
+    return_proc_mode: str = "centered_sign_rank",
 ):
     """Build the jitted multi-chip NS-ES generation step.
 
@@ -67,33 +72,19 @@ def make_pod_nses_step(
       step(theta [D], opt_state, table, keys [n_dev], tslimit, sigma,
            archive, ctx, ref_batch) -> PodNSGenResult
     `algo_type`: 'ns' ranks novelty alone; 'nsr' averages novelty ranks with
-    reward ranks (nses.py:226-228).
-    """
+    reward ranks (nses.py:226-228). Each device scans `n_rounds` rounds of
+    `npairs_per_device` antithetic pairs. The novelty of every rollout's BC
+    against the replicated archive is one fused pairwise-distance/top-k per
+    device (the per-worker loop of nses.py:381-387, batched); novelty rides
+    the signreturns slot exactly as the reference wires it, so
+    `return_proc_mode` reproduces es.py:281-288 dispatch ('centered_rank'
+    would rank reward — ES behavior)."""
     assert algo_type in ("ns", "nsr"), algo_type
     dim = model.num_params
-    act_fn = model.make_batch_act()
     n_dev = mesh.devices.size
-    npairs_global = npairs_per_device * n_dev
+    npairs_global = npairs_per_device * n_rounds * n_dev
 
-    def local_eval(theta, table, key, tslimit, sigma, archive, ctx, ref_batch):
-        kidx, kroll = jax.random.split(key)
-        idxs = jax.random.randint(
-            kidx, (npairs_per_device,), 0, table.shape[0] - dim + 1, dtype=jnp.int32
-        )
-        eps = jax.vmap(lambda i: jax.lax.dynamic_slice(table, (i,), (dim,)))(idxs)
-        thetas = jnp.concatenate([theta[None] + sigma * eps, theta[None] - sigma * eps])
-        if has_ref_batch:
-            stats = model.batch_ref_stats(thetas, ref_batch)
-            params = (thetas, stats)
-        else:
-            params = (thetas, ctx)
-        keys = jax.random.split(kroll, npairs_per_device)
-        res = rollout_batch(env, act_fn, params, jnp.concatenate([keys, keys]), tslimit)
-        nov = novelty.novelty_vs_archive(archive, res.bc, k)  # [2n_local]
-        pair = lambda x: jnp.stack(
-            [x[:npairs_per_device], x[npairs_per_device:]], axis=1
-        )
-        return idxs, pair(res.returns), pair(nov), pair(res.lengths), res.bc
+    from .es_pod import _local_rounds, _placeholder
 
     @partial(
         jax.shard_map,
@@ -109,27 +100,37 @@ def make_pod_nses_step(
             P(POP_AXIS),  # bcs
             P(),
             P(),
+            P(),
+            P(),
+            P(),
         ),
         check_vma=False,
     )
     def gen_step(theta, opt_state, table, keys, tslimit, sigma, archive, ctx, ref_batch):
         key = keys[0]
-        idxs, rets, novs, lens, bcs = local_eval(
-            theta, table, key, tslimit, sigma, archive, ctx, ref_batch
+        idxs, rets, srets, lens, bcs, eseeds, osum, osumsq, ocount = _local_rounds(
+            env, model, theta, table, key, tslimit, sigma,
+            npairs_per_device, n_rounds, ctx, ref_batch, False,
         )
+        # novelty of every rollout BC vs the replicated archive; bcs is
+        # [n_local, 2, bc_dim] pair-aligned
+        n_local = npairs_per_device * n_rounds
+        nov_flat = novelty.novelty_vs_archive(
+            archive, bcs.reshape(2 * n_local, -1), k
+        )
+        novs = nov_flat.reshape(n_local, 2)
 
-        # global rank transform over novelty (nses.py:217-224); NSR averages
-        # with reward ranks (nses.py:226-228)
+        # global rank transform over novelty (nses.py:217-224, via the
+        # signreturns slot, es.py:281-288); NSR averages with reward ranks
+        # (nses.py:226-228)
         all_novs = jax.lax.all_gather(novs, POP_AXIS, tiled=True)
-        proc = fitness.compute_centered_ranks(all_novs)
+        all_rets = jax.lax.all_gather(rets, POP_AXIS, tiled=True)
+        proc = fitness.process_returns(all_rets, all_novs, return_proc_mode)
         if algo_type == "nsr":
-            all_rets = jax.lax.all_gather(rets, POP_AXIS, tiled=True)
             proc = (proc + fitness.compute_centered_ranks(all_rets)) / 2.0
         w_all = proc[:, 0] - proc[:, 1]
         my = jax.lax.axis_index(POP_AXIS)
-        w_local = jax.lax.dynamic_slice_in_dim(
-            w_all, my * npairs_per_device, npairs_per_device
-        )
+        w_local = jax.lax.dynamic_slice_in_dim(w_all, my * n_local, n_local)
 
         g_local = fitness.gradient_from_noise(table, idxs, w_local, dim, grad_chunk)
         g = jax.lax.psum(g_local, POP_AXIS) / (npairs_global * 2)
@@ -148,16 +149,16 @@ def make_pod_nses_step(
             bcs,
             ratio,
             jnp.sum(jnp.square(g)),
+            jax.lax.psum(osum, POP_AXIS),
+            jax.lax.psum(osumsq, POP_AXIS),
+            jax.lax.psum(ocount, POP_AXIS),
         )
 
     @jax.jit
     def step(theta, opt_state, table, keys, tslimit, sigma, archive, ctx=None, ref_batch=None):
-        if ctx is None:
-            ctx = jnp.zeros((0,), jnp.float32)
-        if ref_batch is None:
-            ref_batch = jnp.zeros((0,), jnp.float32)
         out = gen_step(
-            theta, opt_state, table, keys, tslimit, sigma, archive, ctx, ref_batch
+            theta, opt_state, table, keys, tslimit, sigma, archive,
+            _placeholder(ctx), _placeholder(ref_batch),
         )
         return PodNSGenResult(*out)
 

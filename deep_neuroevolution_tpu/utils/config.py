@@ -114,12 +114,38 @@ def load_experiment(
 ):
     """exp dict (either schema) → ready trainer. `overrides` patches engine
     knobs (eval_batch, num_eval_episodes, batch_size, noise table size...)."""
+    import jax
+
     from ..algos.es import ESConfig, ESTrainer
     from ..algos.ga import GAConfig, GATrainer, RSTrainer
     from ..algos.nses import NSESConfig, NSESTrainer
     from ..ops.noise import NoiseTable
 
     overrides = overrides or {}
+
+    def pick_trainer(single_ctor, env):
+        """Scale-out dispatch: with >1 visible device (one process on a
+        multi-chip slice, or every process of a jax.distributed pod) the
+        mesh-aware pod trainers drive the SPMD generation kernels
+        (parallel/trainers.py) — the replacement for the reference's
+        master/worker fleet (es_distributed/main.py:74-86). Override with
+        the `{"pod": true|false}` engine knob; host-engine envs (ALE pools)
+        stay per-process."""
+        pod = overrides.get("pod", "auto")
+        want = pod is True or (
+            pod == "auto" and jax.device_count() > 1
+            and not getattr(env, "is_host_env", False)
+        )
+        if not want:
+            return single_ctor
+        from ..parallel import trainers as pod_trainers
+
+        return {
+            ESTrainer: pod_trainers.PodESTrainer,
+            GATrainer: pod_trainers.PodGATrainer,
+            RSTrainer: pod_trainers.PodRSTrainer,
+            NSESTrainer: pod_trainers.PodNSESTrainer,
+        }[single_ctor]
     # env construction knobs: experiment-level block (e.g. bc_mode for the
     # MuJoCo BC choice) patched by run-time overrides (batch_size etc.)
     env_kwargs = {**exp.get("env_kwargs", {}), **overrides.get("env_kwargs", {})}
@@ -141,7 +167,7 @@ def load_experiment(
                 episode_cutoff_mode=exp.get("episode_cutoff_mode", "env_default"),
                 **{k: overrides[k] for k in ("eval_batch", "num_eval_episodes", "grad_chunk") if k in overrides},
             )
-            tr = ESTrainer(
+            tr = pick_trainer(ESTrainer, env)(
                 env,
                 model,
                 cfg,
@@ -174,7 +200,7 @@ def load_experiment(
             timesteps=float(exp.get("timesteps", 1e9)),
             **{k: overrides[k] for k in ("eval_batch",) if k in overrides},
         )
-        ctor = RSTrainer if algo == "rs" else GATrainer
+        ctor = pick_trainer(RSTrainer if algo == "rs" else GATrainer, env)
         tr = ctor(env, model, cfg, noise_table=noise_table, seed=seed)
         if "load_population" in exp:  # gpu ga.py:161-162
             tr.copy_population(exp["load_population"])
@@ -209,7 +235,7 @@ def load_experiment(
             episode_cutoff_mode=c.get("episode_cutoff_mode", "env_default"),
             **{k: overrides[k] for k in ("eval_batch", "num_eval_episodes", "grad_chunk") if k in overrides},
         )
-        tr = ESTrainer(
+        tr = pick_trainer(ESTrainer, env)(
             env,
             model,
             cfg,
@@ -243,10 +269,18 @@ def load_experiment(
             num_test_episodes=int(exp.get("num_test_episodes", 0)),
             **{k: overrides[k] for k in ("eval_batch",) if k in overrides},
         )
-        ctor = RSTrainer if algo == "rs" else GATrainer
+        ctor = pick_trainer(RSTrainer if algo == "rs" else GATrainer, env)
         return ctor(env, model, cfg, noise_table=noise_table, seed=seed)
     if algo in ("nses", "ns", "nsr", "nses_nsr"):
         ns = exp.get("novelty_search", {})
+        # Atari NS-ES characterizes behavior by the per-step RAM trajectory
+        # (policies.py:410-418); device/vector envs by the final-state BC
+        default_bc = (
+            "traj"
+            if getattr(env, "is_host_env", False)
+            and getattr(env, "host_obs", "image") == "image"
+            else "final"
+        )
         cfg = NSESConfig(
             l2coeff=c.get("l2coeff", 0.005),
             noise_stdev=c.get("noise_stdev", 0.02),
@@ -258,8 +292,9 @@ def load_experiment(
             meta_population_size=int(ns.get("population_size", 3)),
             num_rollouts=int(ns.get("num_rollouts", 1)),
             selection_method=ns.get("selection_method", "novelty_prob"),
+            bc_mode=overrides.get("bc_mode", ns.get("bc_mode", default_bc)),
         )
-        return NSESTrainer(
+        return pick_trainer(NSESTrainer, env)(
             env,
             model,
             cfg,

@@ -1,0 +1,68 @@
+"""Worker for the full `main.py train` multi-process pod test.
+
+Two OS processes × 2 virtual CPU devices each; jax.distributed assembles the
+4-device global mesh; `main.py train` auto-selects PodESTrainer
+(utils/config.py pick_trainer) and every process must end with the identical
+replicated θ — the SPMD replacement for the reference master/worker split
+(es_distributed/main.py:42-86).
+
+argv: <process_id> <num_processes> <coordinator_port> <out_npz_path> <log_dir>
+"""
+
+import json
+import os
+import sys
+
+pid, nproc, port, out_path, log_dir = (
+    int(sys.argv[1]), int(sys.argv[2]), sys.argv[3], sys.argv[4], sys.argv[5],
+)
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+
+import jax._src.xla_bridge as xb  # noqa: E402
+
+xb._backend_factories.pop("axon", None)
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.distributed.initialize(f"127.0.0.1:{port}", num_processes=nproc, process_id=pid)
+
+import numpy as np  # noqa: E402
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from deep_neuroevolution_tpu import main as cli  # noqa: E402
+
+EXP = {
+    "config": {
+        "l2coeff": 0.005,
+        "noise_stdev": 0.2,
+        "episodes_per_batch": 0,
+        "timesteps_per_batch": 0,
+        "episode_cutoff_mode": 50,
+    },
+    "env_id": "CartPole-v1",
+    "population_size": 8,
+    "optimizer": {"type": "adam", "args": {"stepsize": 0.1}},
+    "policy": {"type": "LinearClassifier", "args": {}},
+}
+
+rc = cli.main(
+    [
+        "train",
+        "--exp_str", json.dumps(EXP),
+        "--iterations", "2",
+        "--log_dir", log_dir,
+        "--snapshot_freq", "0",
+        "--no_resume",
+        "--overrides", '{"noise_size": 100000, "eval_batch": 1, "num_eval_episodes": 2}',
+    ]
+)
+assert rc == 0
+tr = cli._LAST_TRAINER
+assert type(tr).__name__ == "PodESTrainer", type(tr).__name__
+assert tr.state.iteration == 2
+theta = np.asarray(tr.state.theta)  # replicated → fully addressable
+suffix = "" if pid == 0 else f".p{pid}"
+np.savez(out_path + suffix, theta=theta, episodes=tr.state.episodes_so_far)
+print(f"proc {pid} done", flush=True)

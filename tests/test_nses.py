@@ -188,3 +188,48 @@ class TestBatchedParentBC:
         )
         bcs = _mean_bc_parents(env, model, thetas, jax.random.PRNGKey(1), jnp.int32(30), 2)
         assert bcs.shape == (3, env.bc_dim)
+
+
+class TestArchiveGrowth:
+    """The reference archive is an unbounded Redis list (dist.py:92-98);
+    the device archive must grow, never silently drop (VERDICT r1 missing #5)."""
+
+    def test_add_past_capacity_keeps_every_point(self):
+        import jax.numpy as jnp
+
+        from deep_neuroevolution_tpu.ops import novelty
+
+        cap = 8
+        a = novelty.archive_init(cap, 2)
+        pts = np.array([[float(i), float(-i)] for i in range(2 * cap + 3)], np.float32)
+        for p in pts:
+            a = novelty.archive_add(a, jnp.asarray(p))
+        assert int(a.count) == len(pts)
+        assert a.points.shape[0] >= len(pts)
+        # kNN over ALL inserted points matches the host recomputation
+        bc = np.array([3.3, -2.7], np.float32)
+        got = float(novelty.novelty_vs_archive(a, jnp.asarray(bc)[None], 5)[0])
+        expect = novelty.compute_novelty_vs_archive(list(pts), bc, 5)
+        np.testing.assert_allclose(got, expect, rtol=1e-5)
+
+    def test_trainer_archive_outgrows_capacity(self):
+        """An NSESTrainer configured with a tiny archive keeps inserting
+        one mean-BC per iteration past the initial capacity."""
+        _silence()
+        from deep_neuroevolution_tpu.algos.nses import NSESConfig, NSESTrainer
+        from deep_neuroevolution_tpu.envs import MazeEnv
+        from deep_neuroevolution_tpu.models import ContinuousMLP
+        from deep_neuroevolution_tpu.ops import Adam, NoiseTable
+
+        env = MazeEnv()
+        model = ContinuousMLP(obs_dim=11, ac_dim=2, hidden=8)
+        cfg = NSESConfig(
+            noise_stdev=0.05, population_size=8, k=2, meta_population_size=2,
+            num_rollouts=1, archive_capacity=3, episode_cutoff_mode=20,
+        )
+        tr = NSESTrainer(env, model, cfg, optimizer=Adam(stepsize=0.01),
+                         noise_table=NoiseTable.from_seed(count=100_000), seed=0)
+        for _ in range(4):  # 2 seeds + 4 inserts > 3 capacity
+            tr.train_step()
+        assert int(tr.archive.count) == 2 + 4
+        assert tr.archive.points.shape[0] >= 6

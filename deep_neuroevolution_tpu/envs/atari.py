@@ -75,17 +75,27 @@ class AtariEnv:
         num_threads: int = 0,
         warp_size: int = 84,
         pipeline_groups: int = 2,
+        episodic_life: bool = False,
     ):
         from ..native.bridge import HostBatchEnv
 
         self.game = game
+        # EpisodicLife (atari_wrappers.py:50-84): the CPU stack's
+        # wrap_deepmind default for training envs; the GPU stack's C++ env
+        # has no equivalent, so it is opt-in here and config.py enables it
+        # for CPU-schema '<Game>NoFrameskip-v4' experiment ids
+        self.episodic_life = episodic_life
         if game == "toy":
-            self._env = HostBatchEnv("toy", "", batch_size, num_threads)
+            self._env = HostBatchEnv(
+                "toy", "", batch_size, num_threads, episodic_life=episodic_life
+            )
             self.num_actions = self._env.num_actions
         else:
             assert game in GAME_ACTIONS, f"{game} not in the Atari suite"
             rom = rom_path or f"{game}.bin"
-            self._env = HostBatchEnv("ale", rom, batch_size, num_threads)
+            self._env = HostBatchEnv(
+                "ale", rom, batch_size, num_threads, episodic_life=episodic_life
+            )
             self.num_actions = self._env.num_actions
         self.batch_size = batch_size
         self.warp_size = warp_size

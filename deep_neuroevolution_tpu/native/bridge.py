@@ -36,6 +36,7 @@ def _load():
         iptr = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
         fptr = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
         u8ptr = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+        lib.nevo_set_episodic_life.argtypes = [ctypes.c_void_p, ctypes.c_int]
         lib.nevo_reset.argtypes = [ctypes.c_void_p, iptr, iptr, iptr, ctypes.c_int]
         lib.nevo_step.argtypes = [ctypes.c_void_p, iptr, iptr, ctypes.c_int, fptr, u8ptr]
         lib.nevo_observe.argtypes = [ctypes.c_void_p, iptr, ctypes.c_int, u8ptr]
@@ -53,12 +54,18 @@ class HostBatchEnv:
         arg: str = "",
         batch_size: int = 64,
         num_threads: int = 0,
+        episodic_life: bool = False,
     ):
         lib = _load()
         self._lib = lib
         self._h = lib.nevo_create(backend.encode(), arg.encode(), batch_size, num_threads)
         if not self._h:
             raise RuntimeError(f"backend {backend!r} unavailable (ALE not compiled in?)")
+        if episodic_life:
+            # EpisodicLife training episodes (atari_wrappers.py:50-84): done
+            # on life loss; the game truly restarts only on game over
+            lib.nevo_set_episodic_life(self._h, 1)
+        self.episodic_life = episodic_life
         self.batch_size = batch_size
         dims = (ctypes.c_int * 3)()
         lib.nevo_obs_shape(self._h, dims)

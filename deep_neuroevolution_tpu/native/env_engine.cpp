@@ -103,6 +103,10 @@ class Backend {
   virtual int width() const = 0;
   virtual int action_count() const = 0;
   virtual int final_state_size() const = 0;
+  // remaining lives, or -1 if the game has no life counter. Drives the
+  // EpisodicLife episode semantics (atari_wrappers.py:50-84) implemented at
+  // the engine layer.
+  virtual int lives(int idx) { (void)idx; return -1; }
 };
 
 // ---------------------------------------------------------------- toy game
@@ -181,6 +185,7 @@ class ToyCatch : public Backend {
   int width() const override { return W; }
   int action_count() const override { return 4; }  // NOOP FIRE RIGHT LEFT
   int final_state_size() const override { return RAM; }
+  int lives(int idx) override { return slots_[idx].lives; }
 
  private:
   struct Slot {
@@ -330,6 +335,7 @@ class AleBackend : public Backend {
     return (int)const_cast<ale::ALEInterface&>(ifaces_[0]).getMinimalActionSet().size();
   }
   int final_state_size() const override { return 128; }
+  int lives(int i) override { return ifaces_[i].lives(); }
 
  private:
   std::vector<ale::ALEInterface> ifaces_;
@@ -344,6 +350,11 @@ struct Engine {
   std::unique_ptr<Backend> backend;
   std::unique_ptr<ThreadPool> pool;
   int batch_size;
+  // EpisodicLife episode semantics (atari_wrappers.py:50-84): losing a life
+  // ends the *training* episode; the underlying game resets only on true
+  // game over (a subsequent reset continues the game with a no-op step).
+  bool episodic_life = false;
+  std::vector<int> last_lives;
 };
 
 }  // namespace nevo
@@ -370,7 +381,12 @@ void* nevo_create(const char* backend, const char* arg, int batch_size, int num_
   }
   if (num_threads <= 0) num_threads = (int)std::thread::hardware_concurrency();
   e->pool = std::make_unique<nevo::ThreadPool>(num_threads);
+  e->last_lives.assign(batch_size, -1);
   return e;
+}
+
+void nevo_set_episodic_life(void* h, int on) {
+  static_cast<Engine*>(h)->episodic_life = on != 0;
 }
 
 void nevo_destroy(void* h) { delete static_cast<Engine*>(h); }
@@ -390,16 +406,34 @@ int nevo_final_state_size(void* h) {
 
 void nevo_reset(void* h, const int* indices, const int* noops, const int* max_frames, int n) {
   auto* e = static_cast<Engine*>(h);
-  e->pool->parallel_for(
-      n, [&](int i) { e->backend->reset(indices[i], noops[i], max_frames[i]); });
+  e->pool->parallel_for(n, [&](int i) {
+    const int idx = indices[i];
+    if (e->episodic_life && !e->backend->is_done(idx) && e->last_lives[idx] > 0) {
+      // lost-life boundary, game still running: continue from the current
+      // state with one no-op step instead of restarting
+      // (atari_wrappers.py:76-84 EpisodicLifeEnv.reset)
+      e->backend->step(idx, 0);
+    } else {
+      e->backend->reset(idx, noops[i], max_frames[i]);
+    }
+    e->last_lives[idx] = e->backend->lives(idx);
+  });
 }
 
 void nevo_step(void* h, const int* indices, const int* actions, int n, float* rewards,
                uint8_t* dones) {
   auto* e = static_cast<Engine*>(h);
   e->pool->parallel_for(n, [&](int i) {
-    rewards[i] = e->backend->step(indices[i], actions[i]);
-    dones[i] = e->backend->is_done(indices[i]) ? 1 : 0;
+    const int idx = indices[i];
+    rewards[i] = e->backend->step(idx, actions[i]);
+    bool done = e->backend->is_done(idx);
+    if (e->episodic_life) {
+      // done on life loss while lives remain (atari_wrappers.py:62-72)
+      const int l = e->backend->lives(idx);
+      if (l >= 0 && l < e->last_lives[idx] && l > 0) done = true;
+      e->last_lives[idx] = l;
+    }
+    dones[i] = done ? 1 : 0;
   });
 }
 

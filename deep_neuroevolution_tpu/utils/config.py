@@ -36,6 +36,10 @@ def resolve_env(env_id: str, **kwargs):
     m = re.fullmatch(r"([A-Za-z0-9]+)NoFrameskip-v\d+", env_id)
     if m:  # Atari, CPU-stack naming (ga.py:14: endswith('NoFrameskip-v4'))
         game = _camel_to_snake(m.group(1))
+        # the CPU stack wraps training envs with wrap_deepmind, whose
+        # EpisodicLifeEnv defaults ON (atari_wrappers.py:204-222); the GPU
+        # stack's 'game' names never had it, so only this id form enables it
+        kwargs.setdefault("episodic_life", True)
         return envs.make(game if _atari_available() else "toy", **kwargs)
     if env_id.startswith("gym."):
         return envs.make(env_id, **kwargs)

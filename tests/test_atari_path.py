@@ -305,3 +305,68 @@ class TestTrajectoryBC:
         d_final = float(np.linalg.norm(finals[0] - finals[-1]))
         assert abs(d_traj - d_final) > 1e-3, (d_traj, d_final)
         henv.close()
+
+
+class TestEpisodicLife:
+    """EpisodicLifeEnv parity (atari_wrappers.py:50-84; VERDICT r1 missing
+    #4): losing a life ends the training episode; the game truly restarts
+    only on game over — a reset at a lost-life boundary continues play."""
+
+    def test_done_on_life_loss_and_reset_continues(self):
+        from deep_neuroevolution_tpu.native.bridge import HostBatchEnv
+
+        env = HostBatchEnv("toy", batch_size=8, num_threads=2, episodic_life=True)
+        env.reset(noops=np.full(8, 5, np.int32), max_frames=100_000)
+        done = np.zeros(8, bool)
+        steps = 0
+        while not done.any() and steps < 500:
+            acts = np.zeros(int((~done).sum()), np.int32)  # NOOP: miss balls
+            idx = np.nonzero(~done)[0].astype(np.int32)
+            _, d = env.step(acts, indices=idx)
+            done[idx] |= d
+            steps += 1
+        assert done.any(), "no slot ever lost a life under NOOP"
+        b = int(np.nonzero(done)[0][0])
+        ram = env.final_state()
+        lives = int(ram[b, 3])
+        frame_before = int(ram[b, 5]) + 256 * int(ram[b, 6])
+        assert lives == 2, f"done should fire at the FIRST life loss, lives={lives}"
+
+        # reset at the lost-life boundary: play continues (lives stay 2,
+        # frame counter advances) instead of a fresh 3-life game
+        env.reset(indices=np.array([b], np.int32), noops=np.array([5], np.int32))
+        ram2 = env.final_state()
+        assert int(ram2[b, 3]) == 2, "reset must NOT restart the game mid-lives"
+        frame_after = int(ram2[b, 5]) + 256 * int(ram2[b, 6])
+        assert frame_after >= frame_before, (frame_before, frame_after)
+        env.close()
+
+    def test_game_over_resets_fully(self):
+        from deep_neuroevolution_tpu.native.bridge import HostBatchEnv
+
+        env = HostBatchEnv("toy", batch_size=1, num_threads=1, episodic_life=True)
+        env.reset(noops=np.array([3], np.int32))
+        # burn all 3 lives: keep stepping through lost-life resets
+        for _ in range(3):
+            done = False
+            steps = 0
+            while not done and steps < 1000:
+                _, d = env.step(np.zeros(1, np.int32))
+                done = bool(d[0])
+                steps += 1
+            assert done
+            env.reset(noops=np.array([3], np.int32))
+        # after the real game over, reset produced a fresh 3-life game
+        assert int(env.final_state()[0, 3]) == 3
+        env.close()
+
+    def test_off_by_default_and_for_gpu_schema(self):
+        from deep_neuroevolution_tpu.envs.atari import AtariEnv
+        from deep_neuroevolution_tpu.utils.config import resolve_env
+
+        e1 = AtariEnv("toy", batch_size=1)
+        assert e1.episodic_life is False  # GPU stack had no EpisodicLife
+        e1.close()
+        e2 = resolve_env("FrostbiteNoFrameskip-v4", batch_size=1)
+        assert e2.episodic_life is True  # wrap_deepmind default (CPU stack)
+        e2.close()

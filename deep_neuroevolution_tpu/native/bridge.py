@@ -17,14 +17,15 @@ import numpy as np
 from .build import ensure_built
 
 
-_lib = None
+_libs: dict = {}
 
 
-def _load():
-    global _lib
-    if _lib is None:
-        path = ensure_built()
-        lib = ctypes.CDLL(str(path))
+def _load(path: Optional[str] = None):
+    """Load (and memoize) an engine .so. Default: the auto-built engine;
+    tests pass alternates (e.g. the HAVE_ALE stub build)."""
+    key = path or "__default__"
+    if key not in _libs:
+        lib = ctypes.CDLL(str(path if path else ensure_built()))
         lib.nevo_create.restype = ctypes.c_void_p
         lib.nevo_create.argtypes = [ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int, ctypes.c_int]
         lib.nevo_destroy.argtypes = [ctypes.c_void_p]
@@ -41,8 +42,8 @@ def _load():
         lib.nevo_step.argtypes = [ctypes.c_void_p, iptr, iptr, ctypes.c_int, fptr, u8ptr]
         lib.nevo_observe.argtypes = [ctypes.c_void_p, iptr, ctypes.c_int, u8ptr]
         lib.nevo_final_state.argtypes = [ctypes.c_void_p, iptr, ctypes.c_int, fptr]
-        _lib = lib
-    return _lib
+        _libs[key] = lib
+    return _libs[key]
 
 
 class HostBatchEnv:
@@ -55,8 +56,9 @@ class HostBatchEnv:
         batch_size: int = 64,
         num_threads: int = 0,
         episodic_life: bool = False,
+        lib_path: Optional[str] = None,
     ):
-        lib = _load()
+        lib = _load(lib_path)
         self._lib = lib
         self._h = lib.nevo_create(backend.encode(), arg.encode(), batch_size, num_threads)
         if not self._h:

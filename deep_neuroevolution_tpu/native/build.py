@@ -52,6 +52,24 @@ def build(with_ale: str | None = None, verbose: bool = False) -> Path:
     return out
 
 
+def build_ale_stub(verbose: bool = False) -> Path:
+    """Compile the HAVE_ALE code path against the header-only API stub
+    (ale_stub/ale_interface.hpp) — validates that the real-ALE backend
+    compiles and steps without the GPL ALE checkout. Output is a separate
+    .so so the default engine stays stub-free."""
+    out = SRC_DIR / "libnevo_env_alestub.so"
+    src = SRC_DIR / "env_engine.cpp"
+    cmd = [
+        "g++", "-O2", "-std=c++17", "-fPIC", "-shared", "-pthread", "-Wall",
+        "-DHAVE_ALE", f"-I{SRC_DIR / 'ale_stub'}",
+        str(src), "-o", str(out),
+    ]
+    if verbose:
+        print(" ".join(cmd), file=sys.stderr)
+    subprocess.run(cmd, check=True, capture_output=not verbose)
+    return out
+
+
 def ensure_built() -> Path:
     out = lib_path()
     src = SRC_DIR / "env_engine.cpp"

@@ -149,12 +149,15 @@ def _perturbed_round_body(
     ctx=None,
     ref_batch: Optional[jax.Array] = None,
     aligned: bool = False,
+    obstat_prob: Optional[jax.Array] = None,
 ):
     """One device round: sample npairs indices, evaluate θ±σε in one lockstep
     batch of 2·npairs slots. Returns per-pair [n,2] stats (pos, neg columns,
     matching Result.returns_n2, es.py:423-426). Plain traced function so it
     can live inside a `lax.scan` over rounds (see `_eval_rounds`) — only
-    [2·npairs, D] perturbed θs are ever live (SURVEY §7 hard part 3)."""
+    [2·npairs, D] perturbed θs are ever live (SURVEY §7 hard part 3).
+    `obstat_prob` enables the reference's per-rollout Bernoulli obs-stat
+    sampling (es.py:356-363 calc_obstat_prob)."""
     dim = theta.shape[0]
     kidx, kroll = jax.random.split(key)
     if aligned:
@@ -181,7 +184,13 @@ def _perturbed_round_body(
     ep_seeds = jax.random.randint(kroll, (npairs,), 0, 2**31 - 1, dtype=jnp.int32)
     keys = jax.vmap(lambda s: jax.random.PRNGKey(s.astype(jnp.uint32)))(ep_seeds)
     keys2 = jnp.concatenate([keys, keys])  # pos/neg share episode randomness
-    res = rollout_batch(env, act_fn, params, keys2, tslimit, True)
+    mask = None
+    if obstat_prob is not None:
+        # each rollout joins the obs-stat accumulators with prob
+        # calc_obstat_prob (es.py:356-363); ± rollouts decide independently
+        kmask = jax.random.fold_in(kidx, 1)
+        mask = (jax.random.uniform(kmask, (2 * npairs,)) < obstat_prob).astype(jnp.float32)
+    res = rollout_batch(env, act_fn, params, keys2, tslimit, True, mask)
 
     pair = lambda x: jnp.stack([x[:npairs], x[npairs:]], axis=1)
     return (
@@ -210,10 +219,12 @@ def _eval_perturbed_round(
     ctx=None,
     ref_batch: Optional[jax.Array] = None,
     aligned: bool = False,
+    obstat_prob: Optional[jax.Array] = None,
 ):
     """Jitted single-round wrapper (kept for direct use and tests)."""
     return _perturbed_round_body(
-        env, model, theta, table_noise, key, tslimit, sigma, npairs, ctx, ref_batch, aligned
+        env, model, theta, table_noise, key, tslimit, sigma, npairs, ctx, ref_batch,
+        aligned, obstat_prob,
     )
 
 
@@ -231,6 +242,7 @@ def _eval_rounds(
     ctx=None,
     ref_batch: Optional[jax.Array] = None,
     aligned: bool = False,
+    obstat_prob: Optional[jax.Array] = None,
 ):
     """n_rounds antithetic rounds in ONE dispatch via `lax.scan` — the device
     analog of the reference master draining worker results until quota
@@ -241,7 +253,8 @@ def _eval_rounds(
 
     def body(carry, rkey):
         idxs, rets, srets, lens, osum, osumsq, ocount, bcs, eseeds = _perturbed_round_body(
-            env, model, theta, table_noise, rkey, tslimit, sigma, npairs, ctx, ref_batch, aligned
+            env, model, theta, table_noise, rkey, tslimit, sigma, npairs, ctx, ref_batch,
+            aligned, obstat_prob,
         )
         osum_a, osumsq_a, ocount_a = carry
         return (osum_a + osum, osumsq_a + osumsq, ocount_a + ocount), (
@@ -349,6 +362,7 @@ def _fused_generation(
     ref_batch: Optional[jax.Array] = None,
     eval_key: Optional[jax.Array] = None,
     grad_chunk: int = 256,
+    obstat_prob: Optional[jax.Array] = None,
 ):
     """Whole fixed-population generation — n_rounds scanned eval rounds +
     rank transform + streamed gradient + optimizer step + the noiseless eval
@@ -359,7 +373,7 @@ def _fused_generation(
     reference's 500-vector streaming, es.py:291-296)."""
     out = _eval_rounds(
         env, model, theta, table, key, tslimit, sigma, npairs, n_rounds, ctx_train,
-        ref_batch, use_pallas,
+        ref_batch, use_pallas, obstat_prob,
     )
     idxs, rets, srets, lens, osum, osumsq, ocount, bcs, eseeds = out
     opt_state2, theta2, ratio, gnorm = _compute_update(
@@ -615,6 +629,13 @@ class ESTrainer:
         step_tstart = time.time()
         tslimit_dev = jnp.asarray(self.cutoff.tslimit, jnp.int32)
         sigma_dev = jnp.asarray(cfg.noise_stdev, jnp.float32)
+        # reference-faithful per-rollout obs-stat sampling when 0 < p < 1
+        # (es.py:356-363); p >= 1 accumulates every rollout
+        obstat_prob = (
+            jnp.asarray(cfg.calc_obstat_prob, jnp.float32)
+            if self.model.needs_ob_stat and 0.0 < cfg.calc_obstat_prob < 1.0
+            else None
+        )
         key, keval = jax.random.split(key)
 
         # device fixed-population generations fuse rounds+update+eval into one
@@ -653,6 +674,7 @@ class ESTrainer:
                 self.ref_batch,
                 keval,
                 cfg.grad_chunk,
+                obstat_prob,
             )
             # one batched host transfer for all per-gen diagnostics
             (
@@ -706,6 +728,7 @@ class ESTrainer:
                     ctx,
                     self.ref_batch,
                     cfg.use_pallas_grad,
+                    obstat_prob,
                 )
                 (idxs, rets, srets, lens, osum, osumsq, ocount, bcs, eseeds) = jax.device_get(
                     (idxs, rets, srets, lens, osum, osumsq, ocount, bcs, eseeds)

@@ -63,6 +63,9 @@ def rollout_batch(
     keys: jax.Array,  # [B, 2] per-slot PRNG keys (reset + step streams)
     timestep_limit: jax.Array,  # scalar i32, dynamic (adaptive cutoff, es.py:169-186)
     collect_obstat: bool = False,
+    obstat_mask: Optional[jax.Array] = None,  # [B] 0/1 per-ROLLOUT obs-stat
+    # participation — the reference workers accumulate a rollout's obs with
+    # prob calc_obstat_prob (es.py:356-363); None = every rollout
 ) -> RolloutResult:
     """Evaluate B policies on B env slots for one episode each."""
     B = keys.shape[0]
@@ -85,10 +88,11 @@ def rollout_batch(
         sret = sret + jnp.sign(r) * alive
         length = length + alive.astype(jnp.int32)
         if collect_obstat:
-            m = alive.reshape((B,) + (1,) * (obs.ndim - 1))
+            sel = alive if obstat_mask is None else alive * obstat_mask
+            m = sel.reshape((B,) + (1,) * (obs.ndim - 1))
             ob_sum = ob_sum + jnp.sum(obs * m, axis=0)
             ob_sumsq = ob_sumsq + jnp.sum(jnp.square(obs) * m, axis=0)
-            ob_count = ob_count + jnp.sum(alive)
+            ob_count = ob_count + jnp.sum(sel)
         ndone = done | d
         nstate = _mask_tree(done, state, nstate)
         return t + 1, nstate, ndone, ret, sret, length, ob_sum, ob_sumsq, ob_count

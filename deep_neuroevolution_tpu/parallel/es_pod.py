@@ -72,14 +72,15 @@ class PodRoundsResult(NamedTuple):
 
 
 def _local_rounds(env, model, theta, table, key, tslimit, sigma, npairs, n_rounds,
-                  ctx, ref_batch, aligned):
+                  ctx, ref_batch, aligned, obstat_prob=None):
     """Per-device: n_rounds scanned antithetic rounds (the device twin of the
     reference worker loop, es.py:411-426). Flattened [n_rounds·npairs, ...]."""
     keys = jax.random.split(key, n_rounds)
 
     def body(carry, rkey):
         idxs, rets, srets, lens, osum, osumsq, ocount, bcs, eseeds = _perturbed_round_body(
-            env, model, theta, table, rkey, tslimit, sigma, npairs, ctx, ref_batch, aligned
+            env, model, theta, table, rkey, tslimit, sigma, npairs, ctx, ref_batch,
+            aligned, obstat_prob,
         )
         osum_a, osumsq_a, ocount_a = carry
         return (osum_a + osum, osumsq_a + osumsq, ocount_a + ocount), (
@@ -124,6 +125,7 @@ def make_pod_eval_rounds(
     n_rounds: int = 1,
     has_ref_batch: bool = False,
     use_pallas_grad: bool = False,
+    obstat_prob=None,
 ):
     """Quota-mode rounds: every device evaluates npairs_per_device·n_rounds
     antithetic pairs; results come back pop-sharded, obs-stat sums psum'd.
@@ -144,6 +146,7 @@ def make_pod_eval_rounds(
         idxs, rets, srets, lens, bcs, eseeds, osum, osumsq, ocount = _local_rounds(
             env, model, theta, table, keys[0], tslimit, sigma,
             npairs_per_device, n_rounds, ctx, ref_batch, use_pallas_grad,
+            None if obstat_prob is None else jnp.float32(obstat_prob),
         )
         osum = jax.lax.psum(osum, POP_AXIS)
         osumsq = jax.lax.psum(osumsq, POP_AXIS)
@@ -239,6 +242,7 @@ def make_pod_es_step(
     use_pallas_grad: bool = False,
     n_rounds: int = 1,
     num_eval_per_device: int = 0,
+    obstat_prob=None,
 ):
     """Build the jitted multi-chip generation step (fixed-population mode).
 
@@ -284,6 +288,7 @@ def make_pod_es_step(
         idxs, rets, srets, lens, bcs, eseeds, osum, osumsq, ocount = _local_rounds(
             env, model, theta, table, key, tslimit, sigma,
             npairs_per_device, n_rounds, ctx, ref_batch, use_pallas_grad,
+            None if obstat_prob is None else jnp.float32(obstat_prob),
         )
 
         # global fitness for the rank transform (tiny: [n_global, 2])

@@ -122,6 +122,7 @@ class PodESTrainer(_PodMixin, ESTrainer):
                 use_pallas_grad=self.config.use_pallas_grad,
                 n_rounds=n_rounds,
                 num_eval_per_device=num_eval_pd,
+                obstat_prob=self._obstat_prob(),
             )
         return self._steps[k]
 
@@ -134,8 +135,15 @@ class PodESTrainer(_PodMixin, ESTrainer):
                 self.env, self.model, self.mesh, npairs_pd, n_rounds,
                 has_ref_batch=self.model.needs_ref_batch,
                 use_pallas_grad=self.config.use_pallas_grad,
+                obstat_prob=self._obstat_prob(),
             )
         return self._steps[k]
+
+    def _obstat_prob(self):
+        """Per-rollout Bernoulli obs-stat sampling prob (es.py:356-363)
+        when 0 < calc_obstat_prob < 1; None accumulates every rollout."""
+        p = self.config.calc_obstat_prob
+        return p if self.model.needs_ob_stat and 0.0 < p < 1.0 else None
 
     def _get_update(self, num_eval_pd: int):
         k = ("update", num_eval_pd)

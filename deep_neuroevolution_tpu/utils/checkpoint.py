@@ -219,7 +219,15 @@ def load_trainer(path: str, trainer) -> None:
 
     with open(path, "rb") as f:
         state = pickle.load(f)
-    assert state["type"] == type(trainer).__name__, (state["type"], type(trainer).__name__)
+    # family match, not exact class: a single-device snapshot resumes into a
+    # pod trainer (scale-out restart = recreate + resume, SURVEY §5.3) and
+    # vice versa — PodESTrainer etc. subclass the single-device trainers
+    def family(name: str) -> str:
+        return name.replace("Pod", "", 1) if name.startswith("Pod") else name
+
+    assert family(state["type"]) == family(type(trainer).__name__), (
+        state["type"], type(trainer).__name__,
+    )
 
     if isinstance(trainer, ESTrainer):
         d = state["es_state"]

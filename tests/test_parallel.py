@@ -302,3 +302,42 @@ class TestPodTrainers:
         assert int(tr.archive.count) == n0 + 1  # parent mean-BC inserted
         assert r["returns"].shape == (16, 2)
         assert r["novelty"].shape == (16, 2)
+
+
+class TestPodCheckpointCompat:
+    """Scale-out restart = recreate + resume (SURVEY §5.3): snapshots move
+    between single-device and pod trainers in both directions."""
+
+    def test_snapshot_roundtrips_between_single_and_pod(self, tmp_path):
+        _silence()
+        from deep_neuroevolution_tpu.algos.es import ESConfig, ESTrainer
+        from deep_neuroevolution_tpu.parallel.trainers import PodESTrainer
+        from deep_neuroevolution_tpu.utils import checkpoint
+
+        env = CartPoleEnv()
+        model = LinearClassifier(obs_dim=4, num_actions=2)
+        table = NoiseTable.from_seed(count=200_000)
+        cfg = ESConfig(noise_stdev=0.2, population_size=32, num_eval_episodes=0)
+
+        pod = PodESTrainer(env, model, cfg, optimizer=Adam(stepsize=0.1),
+                           noise_table=table, seed=0)
+        pod.train_step()
+        path = str(tmp_path / "snap.pkl")
+        checkpoint.save_trainer(path, pod)
+
+        single = ESTrainer(env, model, cfg, optimizer=Adam(stepsize=0.1),
+                           noise_table=table, seed=99)
+        checkpoint.load_trainer(path, single)
+        np.testing.assert_allclose(
+            np.asarray(single.state.theta), np.asarray(pod.state.theta)
+        )
+        assert single.state.iteration == 1
+        single.train_step()  # resumes cleanly
+
+        # and back: a single-device snapshot into a pod trainer
+        checkpoint.save_trainer(path, single)
+        pod2 = PodESTrainer(env, model, cfg, optimizer=Adam(stepsize=0.1),
+                            noise_table=table, seed=7)
+        checkpoint.load_trainer(path, pod2)
+        assert pod2.state.iteration == 2
+        pod2.train_step()

@@ -69,6 +69,9 @@ def rollout_batch(
 ) -> RolloutResult:
     """Evaluate B policies on B env slots for one episode each."""
     B = keys.shape[0]
+    prep = getattr(act_fn, "prepare", None)
+    if prep is not None:
+        params = prep(params)  # hoist unflatten/casts out of the step loop
     state = jax.vmap(env.reset)(keys)
     obs_shape = env.obs_shape
 
@@ -130,6 +133,9 @@ def rollout_batch_scan(
     `save_obs` for VINE/ref-batch tooling — policies.py:252-302 rollout's
     save_obs / x-y trajectory options). Prefer `rollout_batch` on hot paths."""
     B = keys.shape[0]
+    prep = getattr(act_fn, "prepare", None)
+    if prep is not None:
+        params = prep(params)
     state0 = jax.vmap(env.reset)(keys)
 
     def step(carry, t):

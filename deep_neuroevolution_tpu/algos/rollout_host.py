@@ -110,7 +110,11 @@ def rollout_host_batch(
     keys = jax.random.split(key, B)
     sls = [slice(g * Bg, (g + 1) * Bg) for g in range(G)]
     gidx = [np.arange(g * Bg, (g + 1) * Bg, dtype=np.int32) for g in range(G)]
+    prep = getattr(act_fn, "prepare", None)
     params_g = [_slice_group_params(params, s, B) for s in sls]
+    if prep is not None:
+        # hoist per-member unflatten/casts out of the per-step dispatches
+        params_g = [prep(p) for p in params_g]
     keys_g = [keys[s] for s in sls]
     stacks = [_device_reset(jnp.asarray(frames0[s]), out_hw, out_hw) for s in sls]
     actions_dev = [
@@ -201,6 +205,9 @@ def rollout_host_vec(
     over *raw* observations (policies.py:279-281 save_obs collects
     pre-normalization obs), BC from the env's mass-center tracking."""
     B = henv.batch_size
+    prep = getattr(act_fn, "prepare", None)
+    if prep is not None:
+        params = prep(params)
     tslimit = min(int(timestep_limit), getattr(henv, "max_episode_steps", timestep_limit))
     seed = int(jax.random.randint(key, (), 0, 2**31 - 1))
     rng = np.random.default_rng(seed)

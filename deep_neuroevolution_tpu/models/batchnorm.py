@@ -51,6 +51,10 @@ class VirtualBNDQN(Model):
     affine: str = "bias"  # 'bias' = GPU ModelVirtualBN; 'full' = CPU ESAtariPolicy gamma/beta
     out_std: float = 1.0  # batchnorm.py:110 dense('out') default std
     scale_style: str = "fan_in"
+    # 'bfloat16' runs the conv/fc GEMMs in bf16 (per-member weight reads are
+    # the population forward's HBM bound); θ stays f32, BN moments and
+    # normalization stay f32, action = argmax (rounding-insensitive).
+    compute_dtype: str = "float32"
 
     LAYERS: Tuple[Tuple[str, int, int, int], ...] = (("conv1", 16, 8, 4), ("conv2", 32, 4, 2))
     FC: int = 256
@@ -97,26 +101,39 @@ class VirtualBNDQN(Model):
 
     # ------------------------------------------------------------------- api
 
+    def prepare_parts(self, parts):
+        """Cast the conv/fc weight matrices (the HBM-dominant reads) to the
+        compute dtype once per rollout; BN biases/gammas and the out layer
+        stay f32 (normalization math is f32)."""
+        dt = jnp.dtype(self.compute_dtype)
+        if dt != jnp.float32:
+            parts = {
+                k: v.astype(dt) if k.endswith("/w") and not k.startswith("out") else v
+                for k, v in parts.items()
+            }
+        return parts
+
     def ref_stats(self, theta: jax.Array, ref_batch: jax.Array) -> VBNStats:
         """Forward the ref batch [R, H, W, C], collecting per-layer moments
         over batch+spatial axes (batchnorm.py:74-77: tf.nn.moments over
         range(1, ndim-1) of the [1, R, ...] stacked batch → here axes
         (0,1,2) for conv, (0,) for fc)."""
-        parts = self.unflatten(theta)
+        dt = jnp.dtype(self.compute_dtype)
+        parts = self.prepare_parts(self.unflatten(theta))
         nonlin = NONLINS[self.nonlin_type]
         means, inv_stds = [], []
 
-        x = ref_batch.astype(jnp.float32)
+        x = ref_batch.astype(dt)
         for name, _, k, s in self.LAYERS:
-            h = conv2d({f"{name}/w": parts[f"{name}/w"], f"{name}/b": jnp.zeros(parts[f"{name}/bn_b"].shape)}, name, x, stride=s)
+            h = conv2d({f"{name}/w": parts[f"{name}/w"], f"{name}/b": jnp.zeros(parts[f"{name}/bn_b"].shape)}, name, x, stride=s).astype(jnp.float32)
             mean = jnp.mean(h, axis=(0, 1, 2))
             var = jnp.var(h, axis=(0, 1, 2))
             inv = 1.0 / jnp.sqrt(var + VBN_EPS)
             means.append(mean)
             inv_stds.append(inv)
-            x = nonlin(self._affine(parts, name, (h - mean) * inv))
+            x = nonlin(self._affine(parts, name, (h - mean) * inv)).astype(dt)
         x = x.reshape(x.shape[0], -1)
-        h = x @ parts["fc/w"]
+        h = (x @ parts["fc/w"].astype(dt)).astype(jnp.float32)
         mean = jnp.mean(h, axis=0)
         var = jnp.var(h, axis=0)
         inv = 1.0 / jnp.sqrt(var + VBN_EPS)
@@ -124,16 +141,16 @@ class VirtualBNDQN(Model):
         inv_stds.append(inv)
         return VBNStats(tuple(means), tuple(inv_stds))
 
-    def act(self, theta, obs, key=None, ctx: VBNStats = None):
+    def act_parts(self, parts, obs, key=None, ctx: VBNStats = None):
         assert ctx is not None, "VirtualBNDQN.act requires ref-batch stats in ctx"
-        parts = self.unflatten(theta)
+        dt = jnp.dtype(self.compute_dtype)
         nonlin = NONLINS[self.nonlin_type]
-        x = obs.astype(jnp.float32)
+        x = obs.astype(dt)
         for i, (name, _, k, s) in enumerate(self.LAYERS):
-            h = conv2d({f"{name}/w": parts[f"{name}/w"], f"{name}/b": jnp.zeros(parts[f"{name}/bn_b"].shape)}, name, x, stride=s)
-            x = nonlin(self._affine(parts, name, (h - ctx.mean[i]) * ctx.inv_std[i]))
+            h = conv2d({f"{name}/w": parts[f"{name}/w"], f"{name}/b": jnp.zeros(parts[f"{name}/bn_b"].shape)}, name, x, stride=s).astype(jnp.float32)
+            x = nonlin(self._affine(parts, name, (h - ctx.mean[i]) * ctx.inv_std[i])).astype(dt)
         x = x.reshape(-1)
-        h = x @ parts["fc/w"]
+        h = (x @ parts["fc/w"].astype(dt)).astype(jnp.float32)
         i = len(self.LAYERS)
         x = nonlin(self._affine(parts, "fc", (h - ctx.mean[i]) * ctx.inv_std[i]))
         return jnp.argmax(dense(parts, "out", x))
@@ -142,9 +159,10 @@ class VirtualBNDQN(Model):
         """ctx (VBNStats) is stacked per member → vmap over it too."""
 
         def batch_act(params, obs, keys):
-            thetas, stats = params
-            return jax.vmap(lambda th, o, k, st: self.act(th, o, k, st))(thetas, obs, keys, stats)
+            parts, stats = self.prepare_batch_params(params)
+            return jax.vmap(lambda p, o, k, st: self.act_parts(p, o, k, st))(parts, obs, keys, stats)
 
+        batch_act.prepare = self.prepare_batch_params
         return batch_act
 
     def batch_ref_stats(self, thetas: jax.Array, ref_batch: jax.Array) -> VBNStats:
@@ -162,8 +180,7 @@ class BNDQN(VirtualBNDQN):
     stats across members — a quirk, not a feature, and not used by any
     shipped config)."""
 
-    def act(self, theta, obs, key=None, ctx=None):
-        parts = self.unflatten(theta)
+    def act_parts(self, parts, obs, key=None, ctx=None):
         nonlin = NONLINS[self.nonlin_type]
         x = obs.astype(jnp.float32)
         for name, _, k, s in self.LAYERS:
@@ -187,7 +204,8 @@ class BNDQN(VirtualBNDQN):
 
     def make_batch_act(self):
         def batch_act(params, obs, keys):
-            thetas, _ = params
-            return jax.vmap(lambda th, o, k: self.act(th, o, k))(thetas, obs, keys)
+            parts, _ = self.prepare_batch_params(params)
+            return jax.vmap(lambda p, o, k: self.act_parts(p, o, k))(parts, obs, keys)
 
+        batch_act.prepare = self.prepare_batch_params
         return batch_act

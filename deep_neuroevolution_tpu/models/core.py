@@ -35,6 +35,38 @@ def dense(parts: Dict[str, jax.Array], name: str, x: jax.Array) -> jax.Array:
     return x @ parts[f"{name}/w"] + parts[f"{name}/b"]
 
 
+def _same_pads(size: int, k: int, s: int) -> Tuple[int, int]:
+    """TF SAME padding: total = max((ceil(size/s)-1)·s + k - size, 0),
+    split low/high with the extra element on the high side."""
+    out = -(-size // s)
+    total = max((out - 1) * s + k - size, 0)
+    return total // 2, total - total // 2
+
+
+def extract_patches(x: jax.Array, k: int, stride: int, padding: str) -> jax.Array:
+    """[N, H, W, C] → [N, H', W', k·k·C] im2col patches, feature order
+    (i, j, c) — matching an HWIO weight reshaped to [k·k·C, O].
+
+    Pure data movement (pad + k² strided slices + stack): no identity-kernel
+    conv, no gather; XLA fuses it into the consuming GEMM's operand
+    generation. This is the reference GPU stack's extract_image_patches
+    (base.py:54-66) done the XLA way."""
+    n, h, w, c = x.shape
+    if padding == "SAME":
+        (pt, pb), (pl_, pr) = _same_pads(h, k, stride), _same_pads(w, k, stride)
+        x = jnp.pad(x, ((0, 0), (pt, pb), (pl_, pr), (0, 0)))
+        h, w = h + pt + pb, w + pl_ + pr
+    h2 = (h - k) // stride + 1
+    w2 = (w - k) // stride + 1
+    slices = [
+        x[:, i : i + (h2 - 1) * stride + 1 : stride, j : j + (w2 - 1) * stride + 1 : stride, :]
+        for i in range(k)
+        for j in range(k)
+    ]
+    patches = jnp.stack(slices, axis=3)  # [N, H', W', k·k, C]
+    return patches.reshape(n, h2, w2, k * k * c)
+
+
 def conv2d(
     parts: Dict[str, jax.Array],
     name: str,
@@ -42,8 +74,16 @@ def conv2d(
     stride: int,
     padding: str = "SAME",
 ) -> jax.Array:
-    """NHWC conv with HWIO weights + bias (tf_util.py:133-148 conv;
-    base.py:54-82 implements the same contraction as patches@w).
+    """NHWC conv with HWIO weights + bias (tf_util.py:133-148 conv), computed
+    as im2col patches @ weight-matrix (base.py:54-82's exact contraction).
+
+    Why not `lax.conv_general_dilated`: under `vmap` with per-member weights
+    (the population forward) XLA's conv batching rule emits a
+    feature_group_count=B grouped convolution whose tiny per-group channel
+    counts starve the MXU (measured ~1.6k member-steps/s flat in B on v5e).
+    Patches + matmul instead vmaps to ONE batched GEMM [B,P,K]·[B,K,O] that
+    XLA tiles straight onto the MXU — the TPU-native equivalent of the
+    reference's IndexedBatchMatMul (ops/indexedmatmul.cpp:145-214).
 
     Accepts unbatched [H, W, C] input (the per-member single-frame case) and
     adds/removes the batch dim so it vmaps cleanly over the population."""
@@ -52,14 +92,12 @@ def conv2d(
     squeeze = x.ndim == 3
     if squeeze:
         x = x[None]
-    y = jax.lax.conv_general_dilated(
-        x,
-        w,
-        window_strides=(stride, stride),
-        padding=padding,
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-    )
-    y = y + b.reshape((1, 1, 1, -1))
+    kh, kw, cin, cout = w.shape
+    assert kh == kw, "square kernels only (all reference nets use square kernels)"
+    patches = extract_patches(x, kh, stride, padding)
+    n, h2, w2, kk = patches.shape
+    y = patches.reshape(n, h2 * w2, kk) @ w.reshape(kk, cout).astype(patches.dtype)
+    y = y.reshape(n, h2, w2, cout) + b.reshape((1, 1, 1, -1))
     return y[0] if squeeze else y
 
 
@@ -110,19 +148,48 @@ class Model:
 
     # ------------------------------------------------------------------ act
 
+    def act_parts(self, parts: Dict[str, jax.Array], obs: jax.Array, key: Optional[jax.Array] = None, ctx=None):
+        """Single-member action from pre-unflattened (and `prepare_parts`-ed)
+        parameter parts. Subclasses implement this; `act` wraps it."""
+        raise NotImplementedError
+
     def act(self, theta: jax.Array, obs: jax.Array, key: Optional[jax.Array] = None, ctx=None):
         """Single-member action. Population use: jax.vmap(self.act)."""
-        raise NotImplementedError
+        return self.act_parts(self.prepare_parts(self.unflatten(theta)), obs, key, ctx)
+
+    def prepare_parts(self, parts: Dict[str, jax.Array]) -> Dict[str, jax.Array]:
+        """Per-parameter post-processing applied ONCE per rollout, outside
+        the step loop (e.g. compute-dtype casts). Must be elementwise /
+        shape-polymorphic: it is applied to both [.] and stacked [B, .]
+        parts."""
+        return parts
+
+    def prepare_batch_params(self, params):
+        """Hoist flat-θ unflattening (and `prepare_parts`) out of the rollout
+        step loop. Without this, the slice/reshape of every weight matrix
+        re-materializes INSIDE `lax.while_loop`/`scan` each step — at Atari
+        scale that is an extra ~2·B·D·4 bytes of HBM traffic per step and was
+        measured to cost 2.5× end-to-end on v5e. Idempotent: prepared params
+        (dict thetas) and bare/opaque params pass through unchanged."""
+        if not (isinstance(params, tuple) and len(params) == 2):
+            return params
+        thetas, ctx = params
+        if thetas is not None and not isinstance(thetas, dict):
+            thetas = self.prepare_parts(jax.vmap(self.unflatten)(thetas))
+        return (thetas, ctx)
 
     def make_batch_act(self):
         """act_fn for the rollout engine: (params, obs[B,...], keys[B]) →
-        actions[B,...]. `params` is (thetas [B, D], ctx pytree broadcast or
-        stacked [B, ...])."""
+        actions[B,...]. `params` is (thetas [B, D] — or the prepared parts
+        pytree, see `prepare_batch_params` — , ctx pytree broadcast or
+        stacked [B, ...]). The returned function carries a `.prepare`
+        attribute the rollout engines call once before their step loops."""
 
         def batch_act(params, obs, keys):
-            thetas, ctx = params
-            return jax.vmap(lambda th, o, k: self.act(th, o, k, ctx))(thetas, obs, keys)
+            parts, ctx = self.prepare_batch_params(params)
+            return jax.vmap(lambda p, o, k: self.act_parts(p, o, k, ctx))(parts, obs, keys)
 
+        batch_act.prepare = self.prepare_batch_params
         return batch_act
 
     # VBN protocol (overridden by models that need a ref batch;

@@ -68,11 +68,16 @@ class SmallDQN(Model):
         ]
         return specs
 
-    def scores(self, theta, obs, ctx=None):
+    def prepare_parts(self, parts):
+        """Compute-dtype cast, applied once per rollout (outside the step
+        loop) by prepare_batch_params."""
         dt = jnp.dtype(self.compute_dtype)
-        parts = self.unflatten(theta)
         if dt != jnp.float32:
             parts = {k: v.astype(dt) for k, v in parts.items()}
+        return parts
+
+    def scores_parts(self, parts, obs, ctx=None):
+        dt = jnp.dtype(self.compute_dtype)
         nonlin = NONLINS[self.nonlin_type]
         x = obs.astype(dt)
         for name, _, k, s in self.LAYERS:
@@ -81,8 +86,11 @@ class SmallDQN(Model):
         x = nonlin(dense(parts, "fc", x))
         return dense(parts, "out", x).astype(jnp.float32)
 
-    def act(self, theta, obs, key=None, ctx=None):
-        return jnp.argmax(self.scores(theta, obs, ctx))
+    def scores(self, theta, obs, ctx=None):
+        return self.scores_parts(self.prepare_parts(self.unflatten(theta)), obs, ctx)
+
+    def act_parts(self, parts, obs, key=None, ctx=None):
+        return jnp.argmax(self.scores_parts(parts, obs, ctx))
 
 
 @dataclasses.dataclass(frozen=True)

@@ -91,8 +91,7 @@ class MujocoMLP(Model):
         ]
         return specs
 
-    def act(self, theta, obs, key=None, ctx: Optional[MLPContext] = None):
-        parts = self.unflatten(theta)
+    def act_parts(self, parts, obs, key=None, ctx: Optional[MLPContext] = None):
         nonlin = NONLINS[self.nonlin_type]
 
         x = obs.astype(jnp.float32)

@@ -30,8 +30,7 @@ class LinearClassifier(Model):
             ParamSpec("out/b", (self.num_actions,), "zeros"),
         ]
 
-    def act(self, theta, obs, key=None, ctx=None):
-        parts = self.unflatten(theta)
+    def act_parts(self, parts, obs, key=None, ctx=None):
         scores = dense(parts, "out", obs.reshape(-1).astype(jnp.float32))
         return jnp.argmax(scores)
 
@@ -54,8 +53,7 @@ class SimpleClassifier(Model):
             ParamSpec("out/b", (self.num_actions,), "zeros"),
         ]
 
-    def act(self, theta, obs, key=None, ctx=None):
-        parts = self.unflatten(theta)
+    def act_parts(self, parts, obs, key=None, ctx=None):
         nonlin = NONLINS[self.nonlin_type]
         x = obs.reshape(-1).astype(jnp.float32)
         x = nonlin(dense(parts, "fc1", x))
@@ -83,8 +81,7 @@ class ContinuousMLP(Model):
             ParamSpec("out/b", (self.ac_dim,), "zeros"),
         ]
 
-    def act(self, theta, obs, key=None, ctx=None):
-        parts = self.unflatten(theta)
+    def act_parts(self, parts, obs, key=None, ctx=None):
         nonlin = NONLINS[self.nonlin_type]
         x = obs.reshape(-1).astype(jnp.float32)
         x = nonlin(dense(parts, "fc1", x))

@@ -15,6 +15,56 @@ from deep_neuroevolution_tpu.models import (
 from deep_neuroevolution_tpu.models.batchnorm import VBN_EPS, VirtualBNDQN
 
 
+class TestConv2d:
+    def test_patches_gemm_matches_lax_conv(self):
+        """conv2d is im2col patches @ W (the MXU-friendly population form,
+        replacing the vmap-of-lax.conv that lowered to grouped conv); golden
+        vs lax.conv_general_dilated across the reference nets' layer shapes
+        (dqn.py:30-47) plus VALID/odd cases."""
+        from deep_neuroevolution_tpu.models.core import conv2d
+
+        rng = np.random.RandomState(0)
+        cases = [
+            (84, 84, 4, 16, 8, 4, "SAME"),   # SmallDQN conv1
+            (21, 21, 16, 32, 4, 2, "SAME"),  # SmallDQN conv2
+            (11, 11, 32, 64, 3, 1, "SAME"),  # LargeDQN conv3
+            (10, 12, 3, 5, 3, 2, "VALID"),
+            (9, 9, 2, 4, 4, 3, "SAME"),      # uneven SAME pad split
+        ]
+        for h, w, cin, cout, k, s, pad in cases:
+            x = jnp.asarray(rng.randn(2, h, w, cin), jnp.float32)
+            W = jnp.asarray(rng.randn(k, k, cin, cout), jnp.float32)
+            b = jnp.asarray(rng.randn(cout), jnp.float32)
+            ref = jax.lax.conv_general_dilated(
+                x, W, (s, s), pad, dimension_numbers=("NHWC", "HWIO", "NHWC")
+            ) + b
+            got = conv2d({"c/w": W, "c/b": b}, "c", x, s, pad)
+            np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-5, atol=2e-5)
+            # unbatched [H, W, C] path (what vmap over members sees)
+            got1 = conv2d({"c/w": W, "c/b": b}, "c", x[0], s, pad)
+            np.testing.assert_allclose(np.asarray(got1), np.asarray(ref[0]), rtol=2e-5, atol=2e-5)
+
+    def test_vmap_per_member_weights_is_batched_gemm(self):
+        """Population forward: vmapping conv2d over per-member weights must
+        produce a dot_general (batched GEMM), never a grouped convolution."""
+        from deep_neuroevolution_tpu.models.core import conv2d
+
+        B = 3
+        Ws = jnp.asarray(np.random.RandomState(1).randn(B, 4, 4, 2, 8), jnp.float32)
+        xs = jnp.asarray(np.random.RandomState(2).randn(B, 16, 16, 2), jnp.float32)
+
+        def member(Wm, xm):
+            return conv2d({"c/w": Wm, "c/b": jnp.zeros(8)}, "c", xm, 2)
+
+        hlo = jax.jit(jax.vmap(member)).lower(Ws, xs).as_text()
+        assert "convolution" not in hlo, "population conv must not lower to convolution ops"
+        out = jax.vmap(member)(Ws, xs)
+        for i in range(B):
+            np.testing.assert_allclose(
+                np.asarray(out[i]), np.asarray(member(Ws[i], xs[i])), rtol=1e-5, atol=1e-5
+            )
+
+
 class TestMujocoMLP:
     def _mk(self, ac_bins, ac_dim=3):
         return MujocoMLP(

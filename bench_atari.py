@@ -236,6 +236,27 @@ def run_all():
 if __name__ == "__main__":
     p = argparse.ArgumentParser()
     p.add_argument("--json", action="store_true", help="dump the full result dict")
+    p.add_argument(
+        "--only",
+        choices=["conv", "grad", "grad_large", "maze"],
+        help="run a single measurement (separate processes keep tunnel sessions short)",
+    )
     args = p.parse_args()
-    res = run_all()
-    print(json.dumps(res if args.json else res["headline"]))
+    if args.only == "conv":
+        conv, dim = bench_conv_population()
+        print(json.dumps({"conv": {str(k): v for k, v in conv.items()}, "vbn_dqn_params": dim}))
+    elif args.only == "grad":
+        from deep_neuroevolution_tpu.models.batchnorm import VirtualBNDQN
+
+        dim = VirtualBNDQN(num_actions=18).num_params
+        print(json.dumps({"gradient_pop5000": bench_gradient(dim), "dim": dim}))
+    elif args.only == "grad_large":
+        from deep_neuroevolution_tpu.models import LargeDQN
+
+        dim = LargeDQN(num_actions=18).num_params
+        print(json.dumps({"gradient_pop5000_large": bench_gradient(dim), "dim": dim}))
+    elif args.only == "maze":
+        print(json.dumps({"maze_es_frames_per_s_pop5000": bench_maze()}))
+    else:
+        res = run_all()
+        print(json.dumps(res if args.json else res["headline"]))

@@ -165,10 +165,29 @@ class VirtualBNDQN(Model):
         batch_act.prepare = self.prepare_batch_params
         return batch_act
 
+    # Members whose ref-batch forwards are materialized concurrently inside
+    # batch_ref_stats. The im2col patches of conv1 alone are R·21·21·256
+    # floats per member (~58 MB at R=128), so a flat vmap over a pop-5000 (or
+    # even 512) population blows HBM; the stats pass is once-per-generation,
+    # so we trade a short lax.map chain for O(chunk) peak memory.
+    REF_STATS_CHUNK: int = 32
+
     def batch_ref_stats(self, thetas: jax.Array, ref_batch: jax.Array) -> VBNStats:
         """Per-member stats for the whole population (the vmapped analog of
-        re-running ref_batch_assign on every load, batchnorm.py:119-123)."""
-        return jax.vmap(lambda th: self.ref_stats(th, ref_batch))(thetas)
+        re-running ref_batch_assign on every load, batchnorm.py:119-123),
+        computed in member chunks to bound peak HBM."""
+        B = thetas.shape[0]
+        fn = lambda th: self.ref_stats(th, ref_batch)
+        chunk = self.REF_STATS_CHUNK
+        if B <= chunk:
+            return jax.vmap(fn)(thetas)
+        n_chunks = -(-B // chunk)
+        pad = n_chunks * chunk - B
+        if pad:
+            thetas = jnp.concatenate([thetas, jnp.broadcast_to(thetas[:1], (pad,) + thetas.shape[1:])])
+        stacked = jax.lax.map(jax.vmap(fn), thetas.reshape(n_chunks, chunk, -1))
+        flat = jax.tree.map(lambda x: x.reshape((n_chunks * chunk,) + x.shape[2:])[:B], stacked)
+        return flat
 
 
 @dataclasses.dataclass(frozen=True)

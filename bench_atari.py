@@ -76,6 +76,9 @@ def bench_conv_population(batch_sizes=(64, 256, 512), steps=(10, 110), reps=3):
         ref_batch = jax.random.uniform(key, (128, 84, 84, 4), jnp.float32)
         stats = model.batch_ref_stats(thetas, ref_batch)  # per-gen, amortized
         act = model.make_batch_act()
+        # hoist unflatten/casts out of the step loop exactly as the rollout
+        # engines do (rollout.py / rollout_host.py call act.prepare once)
+        prepared, stats = act.prepare((thetas, stats))
 
         @partial(jax.jit, static_argnums=(3,))
         def run(thetas, stats, key, T):
@@ -103,11 +106,11 @@ def bench_conv_population(batch_sizes=(64, 256, 512), steps=(10, 110), reps=3):
 
         t_small, t_big = steps
         for T in (t_small, t_big):  # compile + warm both variants
-            _timed_fetch(run, thetas, stats, key, T)
+            _timed_fetch(run, prepared, stats, key, T)
         dts, dtb = [], []
         for _ in range(reps):
-            dts.append(_timed_fetch(run, thetas, stats, key, t_small))
-            dtb.append(_timed_fetch(run, thetas, stats, key, t_big))
+            dts.append(_timed_fetch(run, prepared, stats, key, t_small))
+            dtb.append(_timed_fetch(run, prepared, stats, key, t_big))
         per_step = (min(dtb) - min(dts)) / (t_big - t_small)
         steps_per_s = B / per_step
         results[B] = {

@@ -202,3 +202,19 @@ class TestVBN:
             assert False, "expected assertion"
         except AssertionError:
             pass
+
+    def test_batch_ref_stats_chunked_matches_vmap(self):
+        """batch_ref_stats streams members through lax.map in chunks (peak
+        HBM is O(chunk), not O(B)); the chunked path — including the padded
+        ragged tail — must match the flat vmap bit-for-bit."""
+
+        class Tiny(VirtualBNDQN):
+            REF_STATS_CHUNK = 2
+
+        m = Tiny(num_actions=3, in_hw=16, in_ch=2)
+        thetas = jax.vmap(m.init_theta)(jax.random.split(jax.random.PRNGKey(5), 5))
+        ref = jax.random.uniform(jax.random.PRNGKey(6), (4, 16, 16, 2))
+        chunked = m.batch_ref_stats(thetas, ref)  # 5 = 2×2 chunks + pad
+        flat = jax.vmap(lambda th: m.ref_stats(th, ref))(thetas)
+        for a, b in zip(jax.tree.leaves(chunked), jax.tree.leaves(flat)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -23,6 +23,21 @@ import json
 import os
 import sys
 
+# Platform override BEFORE jax initializes: NEVO_PLATFORM=cpu forces a
+# host-only run even where a TPU plugin (e.g. the axon tunnel) registers
+# itself through sitecustomize and pins jax_platforms via jax.config —
+# JAX_PLATFORMS alone cannot win against that. Useful for driving the CLI on
+# login/build hosts without claiming the chip.
+if os.environ.get("NEVO_PLATFORM"):
+    import jax._src.xla_bridge as _xb
+
+    for _p in ("axon",):
+        if _p != os.environ["NEVO_PLATFORM"]:
+            _xb._backend_factories.pop(_p, None)
+    import jax
+
+    jax.config.update("jax_platforms", os.environ["NEVO_PLATFORM"])
+
 
 _LAST_TRAINER = None  # set by cmd_train; lets tests inspect the live trainer
 

@@ -23,13 +23,13 @@ gamma/beta parameterization; 'bias' (default) the GPU stack's bias-only.
 from __future__ import annotations
 
 import dataclasses
-from typing import NamedTuple, Sequence, Tuple
+from typing import ClassVar, NamedTuple, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
 
 from ..ops.flat import ParamSpec
-from .core import NONLINS, Model, conv2d, dense
+from .core import NONLINS, Model, batch_conv2d, conv2d, dense, pop_matvec
 from .dqn import _conv_out_hw
 
 VBN_EPS = 1e-3  # batchnorm.py:76; policies.py:322 epsilon=1e-3
@@ -55,6 +55,9 @@ class VirtualBNDQN(Model):
     # the population forward's HBM bound); θ stays f32, BN moments and
     # normalization stay f32, action = argmax (rounding-insensitive).
     compute_dtype: str = "float32"
+    # fc-layer batched mat-vec backend (core.py pop_matvec): 'auto' = Pallas
+    # member-pipelined kernel on TPU, batched einsum elsewhere
+    matvec_impl: str = "auto"
 
     LAYERS: Tuple[Tuple[str, int, int, int], ...] = (("conv1", 16, 8, 4), ("conv2", 32, 4, 2))
     FC: int = 256
@@ -155,12 +158,46 @@ class VirtualBNDQN(Model):
         x = nonlin(self._affine(parts, "fc", (h - ctx.mean[i]) * ctx.inv_std[i]))
         return jnp.argmax(dense(parts, "out", x))
 
+    def _batch_affine(self, parts, name, xhat, mean, inv_std):
+        """Batched normalization + affine: x̂ = (h − μ)·inv_σ then the
+        GPU-style bias (or CPU-style γ/β). mean/inv_std/biases are [B, C];
+        broadcast over any spatial dims between."""
+        shape = (xhat.shape[0],) + (1,) * (xhat.ndim - 2) + (xhat.shape[-1],)
+        x = (xhat - mean.reshape(shape)) * inv_std.reshape(shape)
+        if self.affine == "full":
+            x = x * (1.0 + parts[f"{name}/bn_g"].reshape(shape))
+        return x + parts[f"{name}/bn_b"].reshape(shape)
+
+    def batch_scores_parts(self, parts, obs, ctx: VBNStats):
+        """Batch-explicit population forward (same math as
+        vmap(act_parts)): conv layers as batched einsum GEMMs, the fc layer
+        — 98% of the weight bytes — through `pop_matvec` (Pallas
+        member-pipelined mat-vec on TPU, see ops/pallas_forward.py)."""
+        assert ctx is not None, "VirtualBNDQN requires ref-batch stats in ctx"
+        dt = jnp.dtype(self.compute_dtype)
+        nonlin = NONLINS[self.nonlin_type]
+        B = obs.shape[0]
+        x = obs.astype(dt)
+        for i, (name, _, k, s) in enumerate(self.LAYERS):
+            h = batch_conv2d(parts[f"{name}/w"], x, stride=s).astype(jnp.float32)
+            x = nonlin(self._batch_affine(parts, name, h, ctx.mean[i], ctx.inv_std[i])).astype(dt)
+        x = x.reshape(B, -1)
+        h = pop_matvec(x, parts["fc/w"], self.matvec_impl)
+        i = len(self.LAYERS)
+        x = nonlin(self._batch_affine(parts, "fc", h, ctx.mean[i], ctx.inv_std[i]))
+        out_w = parts["out/w"].astype(jnp.float32)
+        return jnp.einsum("bk,bkn->bn", x, out_w) + parts["out/b"]
+
+    def batch_act_parts(self, parts, obs, keys, ctx: VBNStats):
+        return jnp.argmax(self.batch_scores_parts(parts, obs, ctx), axis=-1)
+
     def make_batch_act(self):
-        """ctx (VBNStats) is stacked per member → vmap over it too."""
+        """ctx (VBNStats) is stacked per member — consumed batch-wise by
+        batch_scores_parts."""
 
         def batch_act(params, obs, keys):
             parts, stats = self.prepare_batch_params(params)
-            return jax.vmap(lambda p, o, k, st: self.act_parts(p, o, k, st))(parts, obs, keys, stats)
+            return self.batch_act_parts(parts, obs, keys, stats)
 
         batch_act.prepare = self.prepare_batch_params
         return batch_act
@@ -170,7 +207,10 @@ class VirtualBNDQN(Model):
     # floats per member (~58 MB at R=128), so a flat vmap over a pop-5000 (or
     # even 512) population blows HBM; the stats pass is once-per-generation,
     # so we trade a short lax.map chain for O(chunk) peak memory.
-    REF_STATS_CHUNK: int = 32
+    # ClassVar: NOT a dataclass field — keeps subclass overrides working and
+    # the knob out of asdict()-based snapshots and the __eq__/__hash__ jit
+    # static-arg cache keys (ADVICE r2).
+    REF_STATS_CHUNK: ClassVar[int] = 32
 
     def batch_ref_stats(self, thetas: jax.Array, ref_batch: jax.Array) -> VBNStats:
         """Per-member stats for the whole population (the vmapped analog of

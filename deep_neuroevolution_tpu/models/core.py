@@ -101,6 +101,49 @@ def conv2d(
     return y[0] if squeeze else y
 
 
+def batch_conv2d(
+    w: jax.Array,  # [B, k, k, cin, cout] per-member HWIO weights
+    x: jax.Array,  # [B, H, W, cin]
+    stride: int,
+    padding: str = "SAME",
+    bias: Optional[jax.Array] = None,  # [B, cout] or None
+) -> jax.Array:
+    """Population conv: every member convolves ITS frame with ITS weights —
+    the IndexedBatchMatMul contraction (ops/indexedmatmul.cpp:145-214) as a
+    single batch-explicit einsum [B,P,K]·[B,K,O] instead of vmap-of-conv2d.
+    Batch-explicit so XLA sees ONE batched GEMM with the member dim as the
+    true batch dimension (a vmapped per-member GEMM lowers the same way but
+    gives the compiler less fusion freedom around it)."""
+    B, kh, kw, cin, cout = w.shape
+    patches = extract_patches(x, kh, stride, padding)  # [B, h2, w2, kk·cin]
+    wmat = w.reshape(B, kh * kw * cin, cout).astype(patches.dtype)
+    y = jnp.einsum("bhwk,bko->bhwo", patches, wmat, preferred_element_type=jnp.float32)
+    if bias is not None:
+        y = y + bias[:, None, None, :].astype(y.dtype)
+    return y
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.devices()[0].platform in ("tpu", "axon")
+    except RuntimeError:
+        return False
+
+
+def pop_matvec(x: jax.Array, W: jax.Array, impl: str = "auto") -> jax.Array:
+    """y[b] = x[b] @ W[b] — the per-member fully-connected layer of a
+    population forward ([B,K]·[B,K,N] → [B,N] f32). ~98% of the VBN-DQN's
+    weight bytes sit in its fc layer, so this batched mat-vec IS the
+    population forward's HBM-bandwidth bill; on TPU it routes to the Pallas
+    member-pipelined kernel (ops/pallas_forward.py), elsewhere to a batched
+    einsum. `impl`: 'auto' (pallas iff TPU) | 'pallas' | 'xla'."""
+    if impl == "pallas" or (impl == "auto" and _on_tpu()):
+        from ..ops.pallas_forward import population_linear
+
+        return population_linear(x, W)
+    return jnp.einsum("bk,bkn->bn", x, W, preferred_element_type=jnp.float32).astype(jnp.float32)
+
+
 NONLINS = {
     "tanh": jnp.tanh,
     "relu": jax.nn.relu,
@@ -178,6 +221,12 @@ class Model:
             thetas = self.prepare_parts(jax.vmap(self.unflatten)(thetas))
         return (thetas, ctx)
 
+    def batch_act_parts(self, parts, obs, keys, ctx):
+        """Population action selection from stacked [B, ...] parts. Default:
+        vmap of the per-member act. Models with batch-explicit fast paths
+        (conv nets routing their fc through `pop_matvec`) override this."""
+        return jax.vmap(lambda p, o, k: self.act_parts(p, o, k, ctx))(parts, obs, keys)
+
     def make_batch_act(self):
         """act_fn for the rollout engine: (params, obs[B,...], keys[B]) →
         actions[B,...]. `params` is (thetas [B, D] — or the prepared parts
@@ -187,7 +236,7 @@ class Model:
 
         def batch_act(params, obs, keys):
             parts, ctx = self.prepare_batch_params(params)
-            return jax.vmap(lambda p, o, k: self.act_parts(p, o, k, ctx))(parts, obs, keys)
+            return self.batch_act_parts(parts, obs, keys, ctx)
 
         batch_act.prepare = self.prepare_batch_params
         return batch_act

@@ -25,7 +25,7 @@ from typing import Sequence, Tuple
 import jax.numpy as jnp
 
 from ..ops.flat import ParamSpec
-from .core import NONLINS, Model, conv2d, dense
+from .core import NONLINS, Model, batch_conv2d, conv2d, dense, pop_matvec
 
 
 def _conv_out_hw(hw: int, k: int, s: int) -> int:
@@ -46,6 +46,9 @@ class SmallDQN(Model):
     # bottleneck of population-batched forwards) — θ stays f32; weights are
     # cast at use. Action = argmax, insensitive to bf16 rounding.
     compute_dtype: str = "float32"
+    # fc-layer batched mat-vec backend: 'auto' (Pallas on TPU), 'pallas',
+    # 'xla' (core.py pop_matvec)
+    matvec_impl: str = "auto"
 
     LAYERS: Tuple[Tuple[str, int, int, int], ...] = (("conv1", 16, 8, 4), ("conv2", 32, 4, 2))
     FC: int = 256
@@ -91,6 +94,26 @@ class SmallDQN(Model):
 
     def act_parts(self, parts, obs, key=None, ctx=None):
         return jnp.argmax(self.scores_parts(parts, obs, ctx))
+
+    def batch_scores_parts(self, parts, obs, ctx=None):
+        """Batch-explicit population forward: conv layers as batched einsum
+        GEMMs (core.batch_conv2d), the dominant fc layer through
+        `pop_matvec` (Pallas member-pipelined mat-vec on TPU). Same math as
+        vmap(scores_parts) — the contraction per member is identical."""
+        dt = jnp.dtype(self.compute_dtype)
+        nonlin = NONLINS[self.nonlin_type]
+        B = obs.shape[0]
+        x = obs.astype(dt)
+        for name, _, k, s in self.LAYERS:
+            y = batch_conv2d(parts[f"{name}/w"], x, stride=s, bias=parts[f"{name}/b"])
+            x = nonlin(y).astype(dt)
+        x = x.reshape(B, -1)
+        h = pop_matvec(x, parts["fc/w"], self.matvec_impl) + parts["fc/b"].astype(jnp.float32)
+        x = nonlin(h).astype(jnp.float32)
+        return jnp.einsum("bk,bkn->bn", x, parts["out/w"].astype(jnp.float32)) + parts["out/b"]
+
+    def batch_act_parts(self, parts, obs, keys, ctx=None):
+        return jnp.argmax(self.batch_scores_parts(parts, obs, ctx), axis=-1)
 
 
 @dataclasses.dataclass(frozen=True)

@@ -1,0 +1,166 @@
+"""Stage-by-stage profile of the Atari population device step (VERDICT r2 #1).
+
+Times each pipeline stage in isolation with the marginal-cost method
+(bench_atari.py:49-54): K iterations scanned inside one jit, per-iter time =
+(T_big - T_small)/(K_big - K_small), so tunnel RTT cancels.
+
+All large operands are passed as jit ARGUMENTS (never closure constants —
+a closed-over array becomes a program constant that the axon tunnel re-ships
+on every compile; a 1 GB fc weight stack made compiles take >20 min).
+
+Stages:
+  rng_frames  the bench's own per-step randint on [B,2,210,160]
+  palette     256-entry grayscale table gather on [B,2,210,160]
+  preprocess  palette + 2-frame max + align-corners resize matmuls
+  fc_xla_*    batched mat-vec [B,3872]x[B,3872,256] via einsum (f32 / bf16)
+  fc_pallas_* population_linear Pallas kernel (f32 / bf16)
+  conv_batch  batch_conv2d conv1+conv2 chain (batch-explicit einsum)
+  act_old     vmapped per-member forward (the r2 path)
+  act_new     batch-explicit forward, pallas fc (the r3 path)
+"""
+import argparse
+import json
+import sys
+import time
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+from deep_neuroevolution_tpu.envs.preprocess import (
+    GRAYSCALE_PALETTE, preprocess_frames)
+from deep_neuroevolution_tpu.models.batchnorm import VBNStats, VirtualBNDQN
+
+
+def timed(fn, *args):
+    t0 = time.time()
+    out = fn(*args)
+    jax.tree.map(lambda x: np.asarray(x), out)
+    return time.time() - t0
+
+
+def marginal(step, operands, ks=(2, 10), reps=2):
+    """step(operands, t) -> scalar; operands is a pytree passed as jit arg."""
+
+    @partial(jax.jit, static_argnums=(1,))
+    def run(operands, K):
+        def body(acc, t):
+            return acc + step(operands, t), None
+        acc, _ = jax.lax.scan(body, jnp.float32(0), jnp.arange(K))
+        return acc
+
+    for K in ks:
+        t = timed(run, operands, K)
+        print(f"  [compile+run K={K}: {t:.1f}s]", file=sys.stderr, flush=True)
+    ds = min(timed(run, operands, ks[0]) for _ in range(reps))
+    db = min(timed(run, operands, ks[1]) for _ in range(reps))
+    r = (db - ds) / (ks[1] - ks[0])
+    print(f"  [marginal {r * 1e3:.3f} ms/iter]", file=sys.stderr, flush=True)
+    return r
+
+
+def main(B=256, only=None):
+    key = jax.random.PRNGKey(0)
+    model = VirtualBNDQN(num_actions=18)
+    out = {}
+
+    def want(name):
+        return only in (None, name)
+
+    if want("rng_frames"):
+        def rng_step(ops, t):
+            f = jax.random.randint(jax.random.fold_in(ops["key"], t), (B, 2, 210, 160), 0, 256, jnp.int32)
+            return jnp.float32(jnp.sum(f))
+        out["rng_frames"] = marginal(rng_step, {"key": key})
+
+    if want("palette") or want("preprocess"):
+        frames = jax.random.randint(key, (B, 2, 210, 160), 0, 256, jnp.int32).astype(jnp.uint8)
+        if want("palette"):
+            def pal_step(ops, t):
+                g = jnp.asarray(GRAYSCALE_PALETTE)[(ops["frames"] + t.astype(jnp.uint8)).astype(jnp.int32)]
+                return jnp.sum(g)
+            out["palette"] = marginal(pal_step, {"frames": frames})
+        if want("preprocess"):
+            def pre_step(ops, t):
+                o = preprocess_frames(ops["frames"] + t.astype(jnp.uint8), 84, 84)
+                return jnp.sum(o)
+            out["preprocess"] = marginal(pre_step, {"frames": frames})
+
+    fc_stages = [s for s in ("fc_xla_f32", "fc_xla_bf16", "fc_pallas_f32", "fc_pallas_bf16") if want(s)]
+    if fc_stages:
+        from deep_neuroevolution_tpu.ops.pallas_forward import population_linear
+
+        W = jax.random.normal(key, (B, 3872, 256), jnp.float32)
+        x = jax.random.normal(key, (B, 3872), jnp.float32)
+        for name in fc_stages:
+            dt = jnp.bfloat16 if name.endswith("bf16") else jnp.float32
+            ops = {"x": x.astype(dt), "W": W.astype(dt)}
+            if "pallas" in name:
+                def fc_step(ops, t):
+                    y = population_linear(ops["x"] * (1 + 1e-3 * t.astype(ops["x"].dtype)), ops["W"])
+                    return jnp.sum(y)
+            else:
+                def fc_step(ops, t):
+                    y = jnp.einsum("bk,bkn->bn", ops["x"] * (1 + 1e-3 * t.astype(ops["x"].dtype)),
+                                   ops["W"], preferred_element_type=jnp.float32)
+                    return jnp.sum(y)
+            out[name] = marginal(fc_step, ops)
+
+    heavy = [s for s in ("conv_batch", "act_old", "act_new", "act_new_bf16") if want(s)]
+    if heavy:
+        obs = jax.random.uniform(key, (B, 84, 84, 4), jnp.float32)
+        stats = VBNStats(
+            (jnp.zeros((B, 16)), jnp.zeros((B, 32)), jnp.zeros((B, 256))),
+            (jnp.ones((B, 16)), jnp.ones((B, 32)), jnp.ones((B, 256))),
+        )
+        keys = jax.random.split(key, B)
+
+        def mk_ops(m):
+            thetas = jax.vmap(m.init_theta)(jax.random.split(key, B))
+            parts, st = m.prepare_batch_params((thetas, stats))
+            return {"parts": parts, "st": st, "obs": obs, "keys": keys}
+
+        if want("conv_batch"):
+            from deep_neuroevolution_tpu.models.core import batch_conv2d
+
+            ops = mk_ops(model)
+            def conv_step(ops, t):
+                x = ops["obs"] + 1e-6 * t.astype(jnp.float32)
+                h1 = jax.nn.relu(batch_conv2d(ops["parts"]["conv1/w"], x, stride=4))
+                h2 = jax.nn.relu(batch_conv2d(ops["parts"]["conv2/w"], h1, stride=2))
+                return jnp.sum(h2)
+            out["conv_batch"] = marginal(conv_step, ops)
+
+        if want("act_old"):
+            ops = mk_ops(model)
+            def old_step(ops, t):
+                o = ops["obs"] + 1e-6 * t.astype(jnp.float32)
+                a = jax.vmap(lambda p, oo, k, st: model.act_parts(p, oo, k, st))(
+                    ops["parts"], o, ops["keys"], ops["st"])
+                return jnp.float32(jnp.sum(a))
+            out["act_old"] = marginal(old_step, ops)
+
+        for name, m in [("act_new", model),
+                        ("act_new_bf16", VirtualBNDQN(num_actions=18, compute_dtype="bfloat16"))]:
+            if want(name):
+                ops = mk_ops(m)
+                def new_step(ops, t, _m=m):
+                    o = ops["obs"] + 1e-6 * t.astype(jnp.float32)
+                    a = _m.batch_act_parts(ops["parts"], o, ops["keys"], ops["st"])
+                    return jnp.float32(jnp.sum(a))
+                out[name] = marginal(new_step, ops)
+
+    for k, v in out.items():
+        print(f"{k:16s} {v * 1e3:8.3f} ms/step  {v / B * 1e6:8.2f} us/member "
+              f"({B / v:,.0f} member-steps/s)", file=sys.stderr, flush=True)
+    print(json.dumps({"B": B, "stages_ms": {k: v * 1e3 for k, v in out.items()}}), flush=True)
+
+
+if __name__ == "__main__":
+    p = argparse.ArgumentParser()
+    p.add_argument("--B", type=int, default=256)
+    p.add_argument("--only", default=None)
+    a = p.parse_args()
+    main(a.B, a.only)

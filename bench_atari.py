@@ -16,7 +16,8 @@ numbers RESULTS.md claims; VERDICT r1 weak #2):
    frames/s = B · 4 · T / wall.
 
 2. **ES gradient at reference scale** — g = Σ wᵢ·ε(idxᵢ) over the 250M-float
-   noise table for pop 5000 (2500 antithetic pairs) × the 1.7M-param VBN-DQN:
+   noise table for pop 5000 (2500 antithetic pairs) × the 1,008,450-param
+   VBN-DQN:
    the Pallas streamed gather-matmul (ops/pallas_kernels.py) vs the XLA scan
    path (ops/fitness.py), reported as ms/call and effective HBM GB/s
    (bytes = pairs × D × 4 read once). This is the master's hot loop
@@ -61,14 +62,31 @@ def _timed_fetch(fn, *args):
     return time.time() - t0
 
 
-def bench_conv_population(batch_sizes=(64, 256, 512), steps=(10, 110), reps=3):
-    """Device pipeline steps/s for B distinct VBN-DQN members (marginal)."""
+def bench_conv_population(
+    batch_sizes=(64, 256, 512),
+    steps=(20, 120),
+    reps=3,
+    compute_dtype="bfloat16",
+    obs_mode="gray",
+):
+    """Device pipeline steps/s for B distinct VBN-DQN members (marginal).
+
+    Defaults measure the PRODUCTION path: engine-side palette decode
+    (AtariEnv obs_mode='gray' — the device-side palette gather measured
+    ~500 µs/member, 98% of the whole step, scripts/profile_atari_stages.py)
+    and bf16 conv/fc GEMMs with the fc mat-vec through the Pallas
+    member-pipelined kernel (ops/pallas_forward.py). obs_mode='indexed' +
+    compute_dtype='float32' reproduces the r2 reference-exact path.
+
+    T is a TRACED loop bound (lax.fori_loop), so each batch size compiles
+    once — tunnel compiles cost 30-60 s each."""
     from deep_neuroevolution_tpu.envs.preprocess import (
-        preprocess_frames, stack_reset, stack_step,
+        preprocess_frames, preprocess_gray_frames, stack_reset, stack_step,
     )
     from deep_neuroevolution_tpu.models.batchnorm import VirtualBNDQN
 
-    model = VirtualBNDQN(num_actions=18)  # full Atari action set
+    model = VirtualBNDQN(num_actions=18, compute_dtype=compute_dtype)
+    pre = preprocess_gray_frames if obs_mode == "gray" else preprocess_frames
     results = {}
     for B in batch_sizes:
         key = jax.random.PRNGKey(0)
@@ -79,38 +97,34 @@ def bench_conv_population(batch_sizes=(64, 256, 512), steps=(10, 110), reps=3):
         # hoist unflatten/casts out of the step loop exactly as the rollout
         # engines do (rollout.py / rollout_host.py call act.prepare once)
         prepared, stats = act.prepare((thetas, stats))
+        frames0 = jax.random.randint(
+            key, (B, 2, 210, 160), 0, 256, dtype=jnp.int32
+        ).astype(jnp.uint8)
 
-        @partial(jax.jit, static_argnums=(3,))
-        def run(thetas, stats, key, T):
-            frames0 = jax.random.randint(
-                key, (B, 2, 210, 160), 0, 256, dtype=jnp.int32
-            ).astype(jnp.uint8)
-            stack0 = stack_reset(preprocess_frames(frames0, 84, 84))
+        @jax.jit
+        def run(thetas, stats, frames0, T):
+            stack0 = stack_reset(pre(frames0, 84, 84))
 
-            def step(carry, t):
-                stack = carry
-                # fresh frames stand in for the engine's observations; RNG
-                # cost is ~noise vs the conv forward
-                f = jax.random.randint(
-                    jax.random.fold_in(key, t), (B, 2, 210, 160), 0, 256,
-                    dtype=jnp.int32,
-                ).astype(jnp.uint8)
-                obs = preprocess_frames(f, 84, 84)
+            def step(t, carry):
+                stack, acc = carry
+                # rolled frames stand in for the engine's observations (the
+                # real loop feeds host frames; staging cost is the same)
+                f = jnp.roll(frames0, t, axis=3)
+                obs = pre(f, 84, 84)
                 new_stack = stack_step(stack, obs)
-                keys = jax.random.split(jax.random.fold_in(key, t), B)
-                actions = act((thetas, stats), new_stack, keys)
-                return new_stack, jnp.sum(actions)
+                actions = act((thetas, stats), new_stack, None)
+                return new_stack, acc + jnp.sum(actions)
 
-            _, acts = jax.lax.scan(step, stack0, jnp.arange(T))
-            return jnp.sum(acts)
+            _, acc = jax.lax.fori_loop(0, T, step, (stack0, jnp.int32(0)))
+            return acc
 
         t_small, t_big = steps
-        for T in (t_small, t_big):  # compile + warm both variants
-            _timed_fetch(run, prepared, stats, key, T)
+        for T in (t_small, t_big):  # compile once + warm
+            _timed_fetch(run, prepared, stats, frames0, jnp.int32(T))
         dts, dtb = [], []
         for _ in range(reps):
-            dts.append(_timed_fetch(run, prepared, stats, key, t_small))
-            dtb.append(_timed_fetch(run, prepared, stats, key, t_big))
+            dts.append(_timed_fetch(run, prepared, stats, frames0, jnp.int32(t_small)))
+            dtb.append(_timed_fetch(run, prepared, stats, frames0, jnp.int32(t_big)))
         per_step = (min(dtb) - min(dts)) / (t_big - t_small)
         steps_per_s = B / per_step
         results[B] = {
@@ -119,7 +133,7 @@ def bench_conv_population(batch_sizes=(64, 256, 512), steps=(10, 110), reps=3):
             "ms_per_device_step": 1e3 * per_step,
         }
         print(
-            f"conv B={B}: {steps_per_s:,.0f} member-steps/s "
+            f"conv[{obs_mode},{compute_dtype}] B={B}: {steps_per_s:,.0f} member-steps/s "
             f"({steps_per_s * FRAMESKIP / 1e6:.2f}M frames/s, "
             f"{results[B]['ms_per_device_step']:.3f} ms/step)",
             file=sys.stderr,
@@ -241,13 +255,20 @@ if __name__ == "__main__":
     p.add_argument("--json", action="store_true", help="dump the full result dict")
     p.add_argument(
         "--only",
-        choices=["conv", "grad", "grad_large", "maze"],
+        choices=["conv", "conv_indexed", "grad", "grad_large", "maze"],
         help="run a single measurement (separate processes keep tunnel sessions short)",
     )
     args = p.parse_args()
     if args.only == "conv":
         conv, dim = bench_conv_population()
         print(json.dumps({"conv": {str(k): v for k, v in conv.items()}, "vbn_dqn_params": dim}))
+    elif args.only == "conv_indexed":
+        # the r2 reference-exact path (device palette gather, f32) — kept to
+        # quantify what the engine-side LUT + bf16 buy
+        conv, dim = bench_conv_population(
+            batch_sizes=(64, 256), compute_dtype="float32", obs_mode="indexed"
+        )
+        print(json.dumps({"conv_indexed": {str(k): v for k, v in conv.items()}, "vbn_dqn_params": dim}))
     elif args.only == "grad":
         from deep_neuroevolution_tpu.models.batchnorm import VirtualBNDQN
 

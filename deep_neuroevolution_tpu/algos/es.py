@@ -762,7 +762,9 @@ class ESTrainer:
                 ob_sum += np.asarray(osum)
                 ob_sumsq += np.asarray(osumsq)
                 ob_count += float(ocount)
-                episodes += 2 * npairs_round
+                # count from the returned columns: the host-pod trainer's
+                # _host_round returns the GLOBAL round (nproc·2·npairs rows)
+                episodes += int(np.asarray(lens).size)
                 timesteps += int(np.asarray(lens).sum())
                 if quota_mode:
                     if episodes >= cfg.episodes_per_batch and timesteps >= cfg.timesteps_per_batch:

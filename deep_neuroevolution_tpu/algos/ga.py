@@ -330,11 +330,15 @@ class GATrainer:
         bcs = np.concatenate(bcs).reshape((N, episodes_per) + bcs[0].shape[1:])
         return rets, lens, bcs
 
-    def _eval_host(self, thetas, tslimit):
+    def _eval_host(self, thetas, tslimit, key=None):
         """One host-engine round: pad the theta chunk to the slot count,
-        rollout, drop the padding."""
+        rollout, drop the padding. `key` overrides the trainer RNG draw (the
+        host-pod trainers pass explicit sub-round keys so the emulated and
+        real multi-process runs are bit-identical)."""
         from .rollout_host import rollout_host
 
+        if key is None:
+            key = self._next_key()
         n = thetas.shape[0]
         B = self.env.batch_size
         if n < B:
@@ -349,7 +353,7 @@ class GATrainer:
             self.env,
             self.model.make_batch_act(),
             params,
-            self._next_key(),
+            key,
             int(tslimit),
         )
         return res.returns[:n], res.lengths[:n], res.bc[:n]

@@ -25,11 +25,13 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..envs.preprocess import preprocess_frames, stack_reset, stack_step
+from ..envs.preprocess import (
+    preprocess_frames, preprocess_gray_frames, stack_reset, stack_step,
+)
 from .rollout import RolloutResult
 
 
-@partial(jax.jit, static_argnums=(0, 4, 5))
+@partial(jax.jit, static_argnums=(0, 4, 5, 6))
 def _device_step(
     act_fn: Callable,
     params,
@@ -37,18 +39,23 @@ def _device_step(
     keys: jax.Array,  # [B]
     out_h: int,
     out_w: int,
+    gray: bool,
     frames: jax.Array,  # [B, 2, H, W] uint8 (this step's raw obs)
 ):
-    """Preprocess new frames into the stack, then select actions."""
-    obs = preprocess_frames(frames, out_h, out_w)
+    """Preprocess new frames into the stack, then select actions. `gray`:
+    frames are engine-side LUT-decoded grayscale (AtariEnv obs_mode='gray'),
+    so the device skips the palette gather (envs/preprocess.py)."""
+    pre = preprocess_gray_frames if gray else preprocess_frames
+    obs = pre(frames, out_h, out_w)
     new_stack = stack_step(stack, obs)
     actions = act_fn(params, new_stack, keys)
     return new_stack, actions
 
 
-@partial(jax.jit, static_argnums=(1, 2))
-def _device_reset(frames: jax.Array, out_h: int, out_w: int):
-    return stack_reset(preprocess_frames(frames, out_h, out_w))
+@partial(jax.jit, static_argnums=(1, 2, 3))
+def _device_reset(frames: jax.Array, out_h: int, out_w: int, gray: bool = False):
+    pre = preprocess_gray_frames if gray else preprocess_frames
+    return stack_reset(pre(frames, out_h, out_w))
 
 
 def _slice_group_params(params, sl: slice, B: int):
@@ -105,6 +112,7 @@ def rollout_host_batch(
     if noops is None:
         noops = rng.integers(1, 31, size=B)  # tf_atari.py:65
     henv.reset(noops=noops, max_frames=timestep_limit * 4)
+    gray = getattr(henv, "obs_mode", "indexed") == "gray"
 
     frames0 = henv.observe()
     keys = jax.random.split(key, B)
@@ -116,7 +124,7 @@ def rollout_host_batch(
         # hoist per-member unflatten/casts out of the per-step dispatches
         params_g = [prep(p) for p in params_g]
     keys_g = [keys[s] for s in sls]
-    stacks = [_device_reset(jnp.asarray(frames0[s]), out_hw, out_hw) for s in sls]
+    stacks = [_device_reset(jnp.asarray(frames0[s]), out_hw, out_hw, gray) for s in sls]
     actions_dev = [
         act_fn(params_g[g], stacks[g], jax.vmap(lambda k: jax.random.fold_in(k, 0))(keys_g[g]))
         for g in range(G)
@@ -154,7 +162,8 @@ def rollout_host_batch(
             # dispatched async, overlapping the NEXT group's host step
             tkeys = jax.vmap(lambda k: jax.random.fold_in(k, t + 1))(keys_g[g])
             stacks[g], actions_dev[g] = _device_step(
-                act_fn, params_g[g], stacks[g], tkeys, out_hw, out_hw, jnp.asarray(frames_g)
+                act_fn, params_g[g], stacks[g], tkeys, out_hw, out_hw, gray,
+                jnp.asarray(frames_g),
             )
             ret[alive_idx] += r_sub
             sret[alive_idx] += np.sign(r_sub)
@@ -287,13 +296,15 @@ def collect_ref_batch_host(henv, key: jax.Array, batch_size: int = 128, out_hw: 
     seed = int(jax.random.randint(key, (), 0, 2**31 - 1))
     rng = np.random.default_rng(seed)
     henv.reset(noops=rng.integers(1, 31, size=B))
-    stack = _device_reset(jnp.asarray(henv.observe()), out_hw, out_hw)
+    gray = getattr(henv, "obs_mode", "indexed") == "gray"
+    stack = _device_reset(jnp.asarray(henv.observe()), out_hw, out_hw, gray)
     collected = []
     while sum(x.shape[0] for x in collected) < batch_size:
         acts = rng.integers(0, henv.num_actions, size=B).astype(np.int32)
         _, d = henv.step(acts)
         frames = henv.observe()
-        obs = preprocess_frames(jnp.asarray(frames), out_hw, out_hw)
+        pre = preprocess_gray_frames if gray else preprocess_frames
+        obs = pre(jnp.asarray(frames), out_hw, out_hw)
         stack = stack_step(stack, obs)
         collected.append(np.asarray(stack))
         # restart any finished slots so frames keep flowing

@@ -76,6 +76,7 @@ class AtariEnv:
         warp_size: int = 84,
         pipeline_groups: int = 2,
         episodic_life: bool = False,
+        obs_mode: str = "gray",
     ):
         from ..native.bridge import HostBatchEnv
 
@@ -97,6 +98,19 @@ class AtariEnv:
                 "ale", rom, batch_size, num_threads, episodic_life=episodic_life
             )
             self.num_actions = self._env.num_actions
+        # 'gray' (default): the engine decodes indexed color → luminance via
+        # a C++ LUT (nevo_observe_gray) and the device skips the palette
+        # gather — which measured ~500 µs/member on TPU, 98% of the device
+        # step (scripts/profile_atari_stages.py). 'indexed' ships raw
+        # indexed frames and decodes on device (bit-exact f32 reference
+        # path, tf_atari.py:81-94); divergence between the two is only the
+        # LUT's ≤0.5/255 uint8 quantization per pixel.
+        assert obs_mode in ("gray", "indexed"), obs_mode
+        self.obs_mode = obs_mode
+        if obs_mode == "gray":
+            from .preprocess import GRAY_PALETTE_UINT8
+
+            self._env.set_gray_lut(GRAY_PALETTE_UINT8)
         self.batch_size = batch_size
         self.warp_size = warp_size
         self.obs_shape = (warp_size, warp_size, 4)
@@ -116,6 +130,8 @@ class AtariEnv:
         return self._env.step(actions, indices=indices)
 
     def observe(self, indices=None) -> np.ndarray:
+        if self.obs_mode == "gray":
+            return self._env.observe_gray(indices=indices)
         return self._env.observe(indices=indices)
 
     def final_state(self) -> np.ndarray:

@@ -78,6 +78,15 @@ def _palettes():
 
 RGB_PALETTE_UINT8, GRAYSCALE_PALETTE = _palettes()
 
+# uint8-quantized luminance LUT for the ENGINE-side palette decode
+# (native/env_engine.cpp nevo_observe_gray): round(255·gray). TPU has no
+# fast gather — the device-side 256-entry lookup measured ~500 µs/member,
+# 98% of the whole device step (scripts/profile_atari_stages.py), so the
+# production path maps indexed→gray in C++ and ships gray uint8. The only
+# divergence from the reference's f32 path is the ≤0.5/255 quantization
+# per pixel before resize.
+GRAY_PALETTE_UINT8 = np.round(255.0 * GRAYSCALE_PALETTE).astype(np.uint8)
+
 
 def _interp_matrix(in_size: int, out_size: int) -> np.ndarray:
     """[out, in] align-corners bilinear interpolation matrix
@@ -106,6 +115,23 @@ def preprocess_frames(frames: jax.Array, out_h: int = 84, out_w: int = 84) -> ja
     R = jnp.asarray(_interp_matrix(H, out_h))  # [oh, H]
     C = jnp.asarray(_interp_matrix(W, out_w)).T  # [W, ow]
     out = jnp.einsum("oh,bhw,wc->boc", R, gray, C)  # two MXU matmuls
+    return out[..., None]
+
+
+@partial(jax.jit, static_argnums=(1, 2))
+def preprocess_gray_frames(frames: jax.Array, out_h: int = 84, out_w: int = 84) -> jax.Array:
+    """[B, 2, H, W] uint8 GRAYSCALE frames (engine-side LUT already applied,
+    nevo_observe_gray) → [B, out_h, out_w, 1] f32 in [0,1].
+
+    Same palette→max→resize order as preprocess_frames (tf_atari.py:90-94);
+    the palette step already happened in C++, so the device does only
+    scale + 2-frame max + the align-corners resize matmuls."""
+    B, F, H, W = frames.shape
+    gray = frames.astype(jnp.float32) * (1.0 / 255.0)
+    gray = jnp.max(gray, axis=1)
+    R = jnp.asarray(_interp_matrix(H, out_h))
+    C = jnp.asarray(_interp_matrix(W, out_w)).T
+    out = jnp.einsum("oh,bhw,wc->boc", R, gray, C)
     return out[..., None]
 
 

@@ -45,6 +45,17 @@ void nevo_step(void* handle, const int* indices, const int* actions, int n,
 // tf_atari.cpp:57-62) into out[n, frames, H, W] uint8.
 void nevo_observe(void* handle, const int* indices, int n, uint8_t* out);
 
+// Grayscale observation path: install a 256-entry indexed-color → luminance
+// LUT (the NTSC grayscale palette, tf_atari.py:143-150, quantized to uint8),
+// then nevo_observe_gray emits LUT-mapped frames [n, frames, H, W] uint8.
+// Moving the palette decode into the engine removes the device-side table
+// gather, which on TPU costs ~500 µs/member — 98% of the device step
+// (scripts/profile_atari_stages.py r3 measurement). The 2-frame max and
+// resize stay on device, preserving the reference's palette→max→resize
+// order (tf_atari.py:90-94).
+void nevo_set_gray_lut(void* handle, const uint8_t* lut256);
+void nevo_observe_gray(void* handle, const int* indices, int n, uint8_t* out);
+
 // Behavior characterization / final state (RAM bytes as floats,
 // tf_atari.cpp:114-119) into out[n, final_state_size].
 void nevo_final_state(void* handle, const int* indices, int n, float* out);

@@ -128,18 +128,37 @@ def load_experiment(
     overrides = overrides or {}
 
     def pick_trainer(single_ctor, env):
-        """Scale-out dispatch: with >1 visible device (one process on a
-        multi-chip slice, or every process of a jax.distributed pod) the
-        mesh-aware pod trainers drive the SPMD generation kernels
-        (parallel/trainers.py) — the replacement for the reference's
-        master/worker fleet (es_distributed/main.py:74-86). Override with
-        the `{"pod": true|false}` engine knob; host-engine envs (ALE pools)
-        stay per-process."""
+        """Scale-out dispatch (the replacement for the reference's
+        master/worker fleet, es_distributed/main.py:74-86):
+        * device envs + >1 visible device → mesh-aware pod trainers driving
+          SPMD generation kernels (parallel/trainers.py); override with the
+          `{"pod": true|false}` engine knob.
+        * host-engine envs (ALE/MuJoCo pools) + >1 process → host-pod
+          trainers: one engine pool per process, fitness columns
+          allgathered, replicated update (parallel/host_pod.py — the
+          per-machine simulator-fleet model of main.py:74-86 /
+          concurrent_worker.py:129-142). `{"host_pod": N}` forces the
+          single-process N-sub-round emulation (tests/dryrun)."""
+        is_host = getattr(env, "is_host_env", False)
+        if is_host:
+            emulate = overrides.get("host_pod")
+            if not emulate and jax.process_count() <= 1:
+                return single_ctor
+            import functools
+
+            from ..parallel import host_pod
+
+            ctor = {
+                ESTrainer: host_pod.HostPodESTrainer,
+                GATrainer: host_pod.HostPodGATrainer,
+                RSTrainer: host_pod.HostPodRSTrainer,
+                NSESTrainer: host_pod.HostPodNSESTrainer,
+            }[single_ctor]
+            if emulate:
+                ctor = functools.partial(ctor, emulate_procs=int(emulate))
+            return ctor
         pod = overrides.get("pod", "auto")
-        want = pod is True or (
-            pod == "auto" and jax.device_count() > 1
-            and not getattr(env, "is_host_env", False)
-        )
+        want = pod is True or (pod == "auto" and jax.device_count() > 1)
         if not want:
             return single_ctor
         from ..parallel import trainers as pod_trainers

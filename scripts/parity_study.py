@@ -32,33 +32,64 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# NEVO_PLATFORM=cpu runs the study host-only (the pendulum arm is small and
+# must not claim the chip while benches run); same escape hatch as main.py
+if os.environ.get("NEVO_PLATFORM"):
+    import jax._src.xla_bridge as _xb
+
+    _xb._backend_factories.pop("axon", None)
+    import jax
+
+    jax.config.update("jax_platforms", os.environ["NEVO_PLATFORM"])
+
 import numpy as np  # noqa: E402
 
 
-def run_arm(obstat_prob: float, seed: int, gens: int):
+def run_arm(obstat_prob: float, seed: int, gens: int, domain: str = "maze"):
+    """One seed × one calc_obstat_prob arm. Domains:
+    * 'maze'     — device Hard Maze, 400-step episodes (the r2 study);
+    * 'pendulum' — MuJoCo InvertedPendulum host engine, the long-episode
+      regime where obs-stat sampling actually bites (the reference's
+      calc_obstat_prob=0.01 was tuned for 100k-step Humanoid rollouts,
+      humanoid.json / es.py:356-363; VERDICT r2 next-step #8)."""
     import jax
 
     from deep_neuroevolution_tpu.algos.es import ESConfig, ESTrainer
-    from deep_neuroevolution_tpu.envs import MazeEnv
     from deep_neuroevolution_tpu.models import MujocoMLP
     from deep_neuroevolution_tpu.ops import Adam, NoiseTable
     from deep_neuroevolution_tpu.utils import tabular
 
     tabular.dump_tabular = lambda: tabular._logger._kvs.clear()
-    env = MazeEnv()
-    model = MujocoMLP(obs_dim=11, ac_dim=2, ac_low=(-1.0, -1.0), ac_high=(1.0, 1.0),
-                      hidden_dims=(32, 32))
+    if domain == "maze":
+        from deep_neuroevolution_tpu.envs import MazeEnv
+
+        env = MazeEnv()
+        model = MujocoMLP(obs_dim=11, ac_dim=2, ac_low=(-1.0, -1.0), ac_high=(1.0, 1.0),
+                          hidden_dims=(32, 32))
+        pop, lr, sigma = 256, 0.05, 0.05
+    else:
+        from deep_neuroevolution_tpu.envs.mujoco import MujocoHostEnv
+
+        env = MujocoHostEnv("InvertedPendulum-v5", batch_size=32)
+        sp = env.action_space
+        model = MujocoMLP(obs_dim=env.obs_shape[0], ac_dim=sp.dim,
+                          ac_low=tuple(sp.low), ac_high=tuple(sp.high),
+                          hidden_dims=(16, 16))
+        pop, lr, sigma = 64, 0.03, 0.05
     cfg = ESConfig(
-        noise_stdev=0.05, l2coeff=0.005, population_size=256,
+        noise_stdev=sigma, l2coeff=0.005, population_size=pop,
         num_eval_episodes=8, calc_obstat_prob=obstat_prob,
     )
-    tr = ESTrainer(env, model, cfg, optimizer=Adam(stepsize=0.05),
+    tr = ESTrainer(env, model, cfg, optimizer=Adam(stepsize=lr),
                    noise_table=NoiseTable.from_seed(count=2_000_000), seed=seed)
     curve = []
     for _ in range(gens):
         st = tr.train_step()
         curve.append(float(st.eval_returns.mean()))
-    return curve, float(np.asarray(tr.state.ob_stat.count))
+    obcount = float(np.asarray(tr.state.ob_stat.count))
+    if hasattr(env, "close"):
+        env.close()
+    return curve, obcount
 
 
 def eval_bit_identity(seed: int = 3, gens: int = 3):
@@ -88,6 +119,7 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--seeds", type=int, default=5)
     p.add_argument("--gens", type=int, default=30)
+    p.add_argument("--domain", choices=["maze", "pendulum"], default="maze")
     p.add_argument("--out", default="results/parity_obstat.json")
     args = p.parse_args()
 
@@ -95,7 +127,7 @@ def main():
     for prob, name in ((1.0, "all_rollouts_p1.0"), (0.01, "reference_p0.01")):
         curves, obcounts = [], []
         for s in range(args.seeds):
-            c, oc = run_arm(prob, seed=s, gens=args.gens)
+            c, oc = run_arm(prob, seed=s, gens=args.gens, domain=args.domain)
             curves.append(c)
             obcounts.append(oc)
             print(f"{name} seed {s}: final={c[-1]:.1f} obcount={oc:.0f}",

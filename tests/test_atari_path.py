@@ -417,3 +417,58 @@ class TestAleBackendCompiles:
         assert d
         assert int(env2.final_state()[0, 2]) == 2  # stub RAM[2] = lives
         env2.close()
+
+
+class TestEngineGrayPath:
+    """Engine-side palette decode (nevo_observe_gray + AtariEnv
+    obs_mode='gray'): the C++ LUT replaces the device-side 256-entry gather
+    that measured ~500 µs/member on TPU (scripts/profile_atari_stages.py,
+    98% of the whole device step)."""
+
+    def test_observe_gray_is_lut_of_observe(self):
+        from deep_neuroevolution_tpu.envs.preprocess import GRAY_PALETTE_UINT8
+        from deep_neuroevolution_tpu.native.bridge import HostBatchEnv
+
+        e = HostBatchEnv("toy", "", 3, num_threads=1)
+        try:
+            e.set_gray_lut(GRAY_PALETTE_UINT8)
+            e.reset(noops=np.array([3, 5, 7]), max_frames=1000)
+            e.step(np.array([1, 1, 1], np.int32))
+            raw = e.observe()
+            gray = e.observe_gray()
+            np.testing.assert_array_equal(gray, GRAY_PALETTE_UINT8[raw])
+        finally:
+            e.close()
+
+    def test_gray_preprocess_matches_indexed_within_quantization(self):
+        """preprocess_gray_frames(LUT[frames]) ≈ preprocess_frames(frames):
+        only the uint8 quantization of the luminance LUT separates the two
+        (≤0.5/255 per pixel; the resize is a convex combination so the bound
+        survives it)."""
+        from deep_neuroevolution_tpu.envs.preprocess import (
+            GRAY_PALETTE_UINT8, preprocess_frames, preprocess_gray_frames)
+
+        rng = np.random.RandomState(0)
+        frames = rng.randint(0, 256, size=(2, 2, 210, 160)).astype(np.uint8)
+        ref = np.asarray(preprocess_frames(jnp.asarray(frames), 84, 84))
+        gray = np.asarray(preprocess_gray_frames(jnp.asarray(GRAY_PALETTE_UINT8[frames]), 84, 84))
+        assert np.abs(ref - gray).max() <= 0.5 / 255 + 1e-6
+
+    def test_atari_env_gray_rollout_runs(self):
+        """Full rollout through the gray device path (AtariEnv default)."""
+        from deep_neuroevolution_tpu.algos.rollout_host import rollout_host
+        from deep_neuroevolution_tpu.envs.atari import AtariEnv
+        from deep_neuroevolution_tpu.models import SmallDQN
+
+        env = AtariEnv("toy", batch_size=3, num_threads=1, pipeline_groups=1)
+        assert env.obs_mode == "gray"
+        try:
+            model = SmallDQN(num_actions=env.num_actions)
+            thetas = jax.vmap(model.init_theta)(jax.random.split(jax.random.PRNGKey(0), 3))
+            res = rollout_host(
+                env, model.make_batch_act(), (thetas, None), jax.random.PRNGKey(1), 10
+            )
+            assert res.returns.shape == (3,)
+            assert (np.asarray(res.lengths) > 0).all()
+        finally:
+            env.close()

@@ -1,24 +1,29 @@
-"""Benchmark: on-device ES generation throughput (env frames/s).
+"""Benchmark: the north-star Atari ES device pipeline (VERDICT r2 #2).
 
-Workload: full ES generations on the device-side Hard Maze (the reference's
-C++ host env, here running entirely on the TPU) with the ContinuousMLP
-policy at population 5000 — the population scale of the headline Frostbite
-ES config (configurations/frostbite_es.json: 5000 episodes/gen). Until the
-native batched-ALE host engine lands, this measures the full population
-engine: per-member perturbation gather, vmapped policy forward, lockstep env
-stepping, rank transform, streamed gradient, Adam — everything the
-generation loop does, fused on device.
+HEADLINE — `atari_es_device_frames_per_s`: the per-engine-step device path
+of Frostbite-ES (es_atari_config.json "ModelVirtualBN") at B=256 distinct
+members: grayscale frames (engine-side palette LUT, nevo_observe_gray) →
+2-frame max + align-corners resize matmuls → 4-frame stack → batch-explicit
+VBN-DQN forward in bf16 with the fc mat-vec through the Pallas
+member-pipelined kernel (ops/pallas_forward.py) → argmax actions. Each
+engine step is 4 emulator frames (frameskip, tf_atari.cpp:64-75).
 
-Baseline denominator: the reference's CPU cluster ran ES with ~720 cores
-(README lineage, arXiv:1703.03864); at the commonly-measured ~500
-env-steps/s/core for feedforward-policy rollout loops that is ~360k
-frames/s for the whole cluster. vs_baseline = our frames/s on ONE chip
-divided by that cluster estimate.
+Timing is MARGINAL over a traced loop bound: the same compiled program runs
+T_small and T_big internally-looped steps and per-step cost is the
+difference — tunnel RTT and result-transfer cancel (bench_atari.py:49-54).
+
+SECONDARY — maze ES end-to-end frames/s at pop 5000 (the r1/r2 headline),
+appended to stderr and to results/bench_history.jsonl for regression
+tracking.
+
+Baseline denominator: the reference's ~720-core CPU cluster at ~500
+env-steps/s/core ≈ 360k frames/s (BASELINE.md).
 
 Prints exactly one JSON line on stdout.
 """
 
 import json
+import os
 import sys
 import time
 
@@ -28,12 +33,19 @@ import numpy as np
 
 REF_CPU_CLUSTER_FPS = 360_000.0  # 720 cores × ~500 steps/s (documented estimate)
 
-POP = 5000  # episodes per generation (frostbite_es.json scale)
-GENS_WARMUP = 4  # first invocations pay compile + runtime warm-up
-GENS_MEASURED = 10
+ATARI_B = 256
+MAZE_POP = 5000
 
 
-def main():
+def bench_atari_conv():
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from bench_atari import bench_conv_population
+
+    conv, _ = bench_conv_population(batch_sizes=(ATARI_B,), reps=3)
+    return conv[ATARI_B]
+
+
+def bench_maze():
     from deep_neuroevolution_tpu.envs import MazeEnv
     from deep_neuroevolution_tpu.models import ContinuousMLP
     from deep_neuroevolution_tpu.ops import Adam, NoiseTable
@@ -42,58 +54,74 @@ def main():
 
     mesh = make_pop_mesh()
     n_dev = mesh.devices.size
-    npairs_per_device = POP // (2 * n_dev)
-
     env = MazeEnv()
     model = ContinuousMLP(obs_dim=11, ac_dim=2, hidden=16)
     opt = Adam(stepsize=0.05)
     use_pallas = jax.devices()[0].platform in ("tpu", "axon")
     step = make_pod_es_step(
-        env, model, opt, mesh, npairs_per_device=npairs_per_device, use_pallas_grad=use_pallas
+        env, model, opt, mesh, npairs_per_device=MAZE_POP // (2 * n_dev),
+        use_pallas_grad=use_pallas,
     )
-
     table = NoiseTable.from_seed(count=5_000_000)
     theta = model.init_theta(jax.random.PRNGKey(0))
     opt_state = opt.init(model.num_params)
-    tslimit = jnp.int32(env.default_timestep_cutoff)
-    sigma = jnp.float32(0.05)
+    tslimit, sigma = jnp.int32(env.default_timestep_cutoff), jnp.float32(0.05)
 
     def one_gen(theta, opt_state, i):
         keys = jax.random.split(jax.random.fold_in(jax.random.PRNGKey(7), i), n_dev)
-        res = step(theta, opt_state, table.noise, keys, tslimit, sigma)
-        return res
+        return step(theta, opt_state, table.noise, keys, tslimit, sigma)
 
-    # warmup: compile + runtime warm-up
     res = one_gen(theta, opt_state, 0)
     res.theta.block_until_ready()
-    for i in range(1, GENS_WARMUP):
+    for i in range(1, 4):
         res = one_gen(res.theta, res.opt_state, i)
         res.theta.block_until_ready()
-
     t0 = time.time()
     frames = 0
-    for i in range(GENS_WARMUP, GENS_WARMUP + GENS_MEASURED):
+    for i in range(4, 12):
         res = one_gen(res.theta, res.opt_state, i)
         frames += int(np.asarray(res.lengths_n2).sum())
     res.theta.block_until_ready()
-    dt = time.time() - t0
+    return frames / (time.time() - t0)
 
-    fps = frames / dt
+
+def main():
+    atari = bench_atari_conv()
+    fps = atari["frames_per_s"]
+    try:
+        maze_fps = bench_maze()
+    except Exception as e:  # secondary must never sink the headline
+        print(f"maze secondary failed: {e}", file=sys.stderr)
+        maze_fps = None
+
+    headline = {
+        "metric": f"atari_es_device_frames_per_s_B{ATARI_B}",
+        "value": round(fps, 1),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / REF_CPU_CLUSTER_FPS, 3),
+    }
+    print(json.dumps(headline))
     print(
-        json.dumps(
-            {
-                "metric": f"maze_es_frames_per_s_pop{POP}",
-                "value": round(fps, 1),
-                "unit": "frames/s",
-                "vs_baseline": round(fps / REF_CPU_CLUSTER_FPS, 3),
-            }
-        )
-    )
-    print(
-        f"devices={n_dev} pairs/dev={npairs_per_device} frames={frames} "
-        f"wall={dt:.2f}s gen_wall={dt / GENS_MEASURED:.2f}s",
+        f"atari B={ATARI_B}: {atari['engine_steps_per_s']:,.0f} member-steps/s, "
+        f"{atari['ms_per_device_step']:.3f} ms/device-step; "
+        f"maze pop{MAZE_POP}: "
+        + (f"{maze_fps:,.0f} frames/s" if maze_fps else "n/a"),
         file=sys.stderr,
     )
+    # per-round regression tracking (VERDICT r2 next-step #2)
+    try:
+        hist_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                 "results", "bench_history.jsonl")
+        os.makedirs(os.path.dirname(hist_path), exist_ok=True)
+        with open(hist_path, "a") as f:
+            f.write(json.dumps({
+                "ts": time.strftime("%Y-%m-%dT%H:%M:%S"),
+                "atari_frames_per_s_B256": round(fps, 1),
+                "atari_ms_per_device_step": round(atari["ms_per_device_step"], 4),
+                "maze_frames_per_s_pop5000": round(maze_fps, 1) if maze_fps else None,
+            }) + "\n")
+    except OSError as e:
+        print(f"history append failed: {e}", file=sys.stderr)
 
 
 if __name__ == "__main__":

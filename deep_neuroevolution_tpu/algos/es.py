@@ -552,6 +552,9 @@ class ESTrainer:
             key,
             int(self.cutoff.tslimit),
             collect_obstat=self.model.needs_ob_stat and cfg.calc_obstat_prob > 0,
+            # reference-faithful per-rollout Bernoulli sampling when 0<p<1
+            # (es.py:356-363); p >= 1 accumulates every rollout
+            obstat_prob=cfg.calc_obstat_prob if 0.0 < cfg.calc_obstat_prob < 1.0 else None,
         )
         pair = lambda x: jnp.stack([x[:npairs], x[npairs : 2 * npairs]], axis=1)
         ep_seeds = jax.random.randint(key, (npairs,), 0, 2**31 - 1, dtype=jnp.int32)

@@ -305,6 +305,7 @@ class NSESTrainer:
             self.env, self.model.make_batch_act(), params, key, int(self.cutoff.tslimit),
             collect_obstat=self.model.needs_ob_stat and cfg.calc_obstat_prob > 0,
             collect_bc_traj=self.traj_bc,
+            obstat_prob=cfg.calc_obstat_prob if 0.0 < cfg.calc_obstat_prob < 1.0 else None,
         )
         if self.traj_bc:
             nov = jnp.asarray(self._archive_novelty(res.bc_traj[: 2 * npairs]))

@@ -88,6 +88,7 @@ def rollout_host_batch(
     collect_obstat: bool = False,
     pipeline_groups: Optional[int] = None,
     collect_bc_traj: bool = False,
+    obstat_prob: Optional[float] = None,
 ) -> RolloutResult:
     """Evaluate B policies on the B host-engine slots, one episode each.
 
@@ -111,6 +112,12 @@ def rollout_host_batch(
     rng = np.random.default_rng(seed)
     if noops is None:
         noops = rng.integers(1, 31, size=B)  # tf_atari.py:65
+    # per-ROLLOUT Bernoulli obs-stat sampling (es.py:356-363: the worker
+    # draws rs.rand() < calc_obstat_prob once per rollout)
+    obstat_mask = (
+        rng.random(B) < obstat_prob if (collect_obstat and obstat_prob is not None)
+        else np.ones(B, bool)
+    )
     henv.reset(noops=noops, max_frames=timestep_limit * 4)
     gray = getattr(henv, "obs_mode", "indexed") == "gray"
 
@@ -155,9 +162,10 @@ def rollout_host_batch(
             frames_g = henv.observe(indices=gidx[g])
             if collect_obstat:
                 s_np = np.asarray(stacks[g])
-                ob_sum += s_np[galive].sum(axis=0)
-                ob_sumsq += np.square(s_np[galive]).sum(axis=0)
-                ob_count += float(galive.sum())
+                gmask = galive & obstat_mask[sls[g]]
+                ob_sum += s_np[gmask].sum(axis=0)
+                ob_sumsq += np.square(s_np[gmask]).sum(axis=0)
+                ob_count += float(gmask.sum())
             # device: fold new frames into the stack and pick next actions —
             # dispatched async, overlapping the NEXT group's host step
             tkeys = jax.vmap(lambda k: jax.random.fold_in(k, t + 1))(keys_g[g])
@@ -205,6 +213,7 @@ def rollout_host_vec(
     key: jax.Array,
     timestep_limit: int,
     collect_obstat: bool = False,
+    obstat_prob: Optional[float] = None,
 ) -> RolloutResult:
     """Vector-observation host rollout (MuJoCo family): raw [B, obs_dim]
     observations go straight to the vmapped device forward — no image
@@ -220,6 +229,12 @@ def rollout_host_vec(
     tslimit = min(int(timestep_limit), getattr(henv, "max_episode_steps", timestep_limit))
     seed = int(jax.random.randint(key, (), 0, 2**31 - 1))
     rng = np.random.default_rng(seed)
+    # per-rollout Bernoulli obs-stat sampling (es.py:356-363; save_obs is
+    # gated per worker rollout on the CPU stack, policies.py:279-281)
+    obstat_mask = (
+        rng.random(B) < obstat_prob if (collect_obstat and obstat_prob is not None)
+        else np.ones(B, bool)
+    )
     henv.reset(seeds=rng.integers(0, 2**31 - 1, size=B))
 
     done = np.zeros(B, bool)
@@ -238,9 +253,10 @@ def rollout_host_vec(
         actions = np.asarray(_device_act(act_fn, params, jnp.asarray(obs), tkeys))
         alive_idx = np.nonzero(~done)[0].astype(np.int32)
         if collect_obstat:
-            ob_sum += obs[alive_idx].sum(axis=0)
-            ob_sumsq += np.square(obs[alive_idx]).sum(axis=0)
-            ob_count += float(alive_idx.size)
+            oidx = np.nonzero(~done & obstat_mask)[0]
+            ob_sum += obs[oidx].sum(axis=0)
+            ob_sumsq += np.square(obs[oidx]).sum(axis=0)
+            ob_count += float(oidx.size)
         r_sub, d_sub = henv.step(actions[alive_idx], indices=alive_idx)
         alive = ~done
         ret[alive_idx] += r_sub
@@ -270,12 +286,14 @@ def rollout_host(
     timestep_limit: int,
     collect_obstat: bool = False,
     collect_bc_traj: bool = False,
+    obstat_prob: Optional[float] = None,
 ) -> RolloutResult:
     """Dispatch on the host env's observation kind: 'image' engines
     (Atari/ALE, preprocess+stack on device) vs 'vector' engines (MuJoCo)."""
     if getattr(henv, "host_obs", "image") == "vector":
         return rollout_host_vec(
-            henv, act_fn, params, key, timestep_limit, collect_obstat=collect_obstat
+            henv, act_fn, params, key, timestep_limit,
+            collect_obstat=collect_obstat, obstat_prob=obstat_prob,
         )
     return rollout_host_batch(
         henv,
@@ -286,6 +304,7 @@ def rollout_host(
         out_hw=henv.warp_size,
         collect_obstat=collect_obstat,
         collect_bc_traj=collect_bc_traj,
+        obstat_prob=obstat_prob,
     )
 
 

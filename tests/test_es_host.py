@@ -1,6 +1,7 @@
 """Full ES-on-host-engine integration: VBN conv policy + C++ toy game +
 device preprocessing — the Frostbite-ES path minus the ALE ROMs."""
 
+import jax
 import numpy as np
 
 from deep_neuroevolution_tpu.algos.es import ESConfig, ESTrainer
@@ -44,3 +45,37 @@ def test_es_vbn_on_toy_atari():
     tr.train_step()
     assert not np.allclose(np.asarray(tr.state.theta), theta1)
     env.close()
+
+
+class TestHostObstatSampling:
+    """Per-rollout Bernoulli obs-stat sampling on the HOST paths
+    (es.py:356-363 calc_obstat_prob — the CPU workers' semantics; the r2
+    engine only sampled on the device path, found by the pendulum parity
+    study: identical ob_counts across p=1.0 and p=0.01 arms)."""
+
+    def test_obstat_prob_thins_host_batch_collection(self):
+        from deep_neuroevolution_tpu.algos.rollout_host import rollout_host_batch
+        from deep_neuroevolution_tpu.envs.atari import AtariEnv
+        from deep_neuroevolution_tpu.models import SmallDQN
+
+        env = AtariEnv("toy", batch_size=16, num_threads=1, pipeline_groups=1)
+        try:
+            model = SmallDQN(num_actions=env.num_actions)
+            thetas = jax.vmap(model.init_theta)(jax.random.split(jax.random.PRNGKey(0), 16))
+            kwargs = dict(timestep_limit=5, out_hw=84)
+            full = rollout_host_batch(
+                env, model.make_batch_act(), (thetas, None), jax.random.PRNGKey(1),
+                collect_obstat=True, obstat_prob=None, **kwargs)
+            none = rollout_host_batch(
+                env, model.make_batch_act(), (thetas, None), jax.random.PRNGKey(1),
+                collect_obstat=True, obstat_prob=1e-9, **kwargs)
+            part = rollout_host_batch(
+                env, model.make_batch_act(), (thetas, None), jax.random.PRNGKey(1),
+                collect_obstat=True, obstat_prob=0.5, **kwargs)
+            assert float(full.ob_count) == 16 * 5
+            assert float(none.ob_count) == 0.0
+            assert 0.0 < float(part.ob_count) < 16 * 5
+            # sampled slots contribute all their steps (per-ROLLOUT gating)
+            assert float(part.ob_count) % 5 == 0
+        finally:
+            env.close()

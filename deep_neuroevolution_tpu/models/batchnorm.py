@@ -58,6 +58,12 @@ class VirtualBNDQN(Model):
     # fc-layer batched mat-vec backend (core.py pop_matvec): 'auto' = Pallas
     # member-pipelined kernel on TPU, batched einsum elsewhere
     matvec_impl: str = "auto"
+    # whole-forward backend: 'fused' = single Pallas kernel per member
+    # (ops/pallas_fused_dqn.py — conv2 im2col + VBN affines + fc + out all
+    # in-VMEM, one weight DMA stream; default-topology nets only),
+    # 'split' = batch-explicit XLA + pop_matvec fc, 'auto' = fused on TPU
+    # when the topology allows, split elsewhere
+    forward_impl: str = "auto"
 
     LAYERS: Tuple[Tuple[str, int, int, int], ...] = (("conv1", 16, 8, 4), ("conv2", 32, 4, 2))
     FC: int = 256
@@ -189,11 +195,80 @@ class VirtualBNDQN(Model):
         return jnp.einsum("bk,bkn->bn", x, out_w) + parts["out/b"]
 
     def batch_act_parts(self, parts, obs, keys, ctx: VBNStats):
+        if isinstance(parts, dict) and "__fused__" in parts:
+            return jnp.argmax(self.batch_scores_fused(parts["__fused__"], obs), axis=-1)
         return jnp.argmax(self.batch_scores_parts(parts, obs, ctx), axis=-1)
+
+    # ------------------------------------------------------ fused Pallas path
+
+    def _fused_eligible(self) -> bool:
+        """The fused kernel is compiled for the reference small-DQN topology
+        (84×84×4 → conv16/8s4 → conv32/4s2 → fc256; batchnorm.py:97-110)."""
+        return (
+            self.in_hw == 84 and self.in_ch == 4 and self.FC == 256
+            and self.LAYERS == (("conv1", 16, 8, 4), ("conv2", 32, 4, 2))
+        )
+
+    def _use_fused(self) -> bool:
+        from .core import _on_tpu
+
+        if self.forward_impl == "fused":
+            assert self._fused_eligible(), "fused kernel needs the default topology"
+            return True
+        return self.forward_impl == "auto" and self._fused_eligible() and _on_tpu()
+
+    def fuse_prepare(self, parts, stats: VBNStats) -> dict:
+        """Per-rollout layout build for ops/pallas_fused_dqn.py: bf16 weight
+        matrices in the kernel's contraction orders + the VBN normalization
+        folded into per-layer scale/shift (y = x̂·a + c, a = inv_σ·(1+γ),
+        c = b − µ·a — exact algebra over batchnorm.py:74-77's moments)."""
+        from ..ops import pallas_fused_dqn as fk
+
+        B = parts["conv1/w"].shape[0]
+        bf = jnp.bfloat16
+
+        def fold(name, i):
+            a = stats.inv_std[i]
+            if self.affine == "full":
+                a = a * (1.0 + parts[f"{name}/bn_g"])
+            c = parts[f"{name}/bn_b"] - stats.mean[i] * a
+            return a[:, None, :], c[:, None, :]
+
+        a1, c1 = fold("conv1", 0)
+        a2, c2 = fold("conv2", 1)
+        a3, c3 = fold("fc", 2)
+        nout = self.num_actions
+        wo = parts["out/w"].astype(jnp.float32)  # [B, 256, nout]
+        wo = jnp.pad(wo, ((0, 0), (0, 0), (0, fk.NOUT - nout)))
+        bo = jnp.pad(
+            parts["out/b"].astype(jnp.float32), ((0, 0), (0, fk.NOUT - nout)),
+            constant_values=-1e9,
+        )[:, None, :]
+        return {
+            "w1": parts["conv1/w"].reshape(B, 8 * 8 * 4, 16).astype(bf),
+            "a1": a1, "c1": c1,
+            "w2": parts["conv2/w"].reshape(B, 4 * 4 * 16, 32).astype(bf),
+            "a2": a2, "c2": c2,
+            "wf": parts["fc/w"].astype(bf),
+            "a3": a3, "c3": c3,
+            "wo": wo, "bo": bo,
+        }
+
+    def batch_scores_fused(self, fused_ops: dict, obs, interpret: bool = False):
+        """[B, 84, 84, 4] obs → padded scores [B, 64] through the fused
+        kernel. conv1's im2col runs here in XLA (member-independent data
+        movement); everything per-member-weighted runs in-kernel."""
+        from ..ops import pallas_fused_dqn as fk
+        from .core import extract_patches
+
+        B = obs.shape[0]
+        patches1 = extract_patches(obs.astype(jnp.bfloat16), 8, 4, "SAME")
+        ops = dict(fused_ops, patches1=patches1.reshape(B, fk.P1, fk.KK1))
+        return fk.vbn_dqn_fused_scores(ops, interpret=interpret)
 
     def make_batch_act(self):
         """ctx (VBNStats) is stacked per member — consumed batch-wise by
-        batch_scores_parts."""
+        batch_scores_parts (or pre-folded into the fused-kernel layout)."""
 
         def batch_act(params, obs, keys):
             parts, stats = self.prepare_batch_params(params)
@@ -201,6 +276,21 @@ class VirtualBNDQN(Model):
 
         batch_act.prepare = self.prepare_batch_params
         return batch_act
+
+    def prepare_batch_params(self, params):
+        """As Model.prepare_batch_params, plus: on the fused path the
+        per-rollout weight-layout build (fuse_prepare) is hoisted here so
+        the per-step act dispatch reads the kernel-ready operands directly
+        — rebuilding them per step would double the weight HBM traffic."""
+        if not (isinstance(params, tuple) and len(params) == 2):
+            return params
+        thetas, ctx = params
+        if thetas is not None and not isinstance(thetas, dict):
+            parts = self.prepare_parts(jax.vmap(self.unflatten)(thetas))
+            if self._use_fused() and isinstance(ctx, VBNStats):
+                return ({"__fused__": self.fuse_prepare(parts, ctx)}, ctx)
+            return (parts, ctx)
+        return (thetas, ctx)
 
     # Members whose ref-batch forwards are materialized concurrently inside
     # batch_ref_stats. The im2col patches of conv1 alone are R·21·21·256

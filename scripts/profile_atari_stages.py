@@ -63,7 +63,7 @@ def marginal(step, operands, ks=(2, 10), reps=2):
 
 def main(B=256, only=None):
     key = jax.random.PRNGKey(0)
-    model = VirtualBNDQN(num_actions=18)
+    model = VirtualBNDQN(num_actions=18, forward_impl="split")
     out = {}
 
     def want(name):
@@ -108,7 +108,7 @@ def main(B=256, only=None):
                     return jnp.sum(y)
             out[name] = marginal(fc_step, ops)
 
-    heavy = [s for s in ("conv_batch", "act_old", "act_new", "act_new_bf16") if want(s)]
+    heavy = [s for s in ("conv_batch", "act_old", "act_new", "act_new_bf16", "act_fused") if want(s)]
     if heavy:
         obs = jax.random.uniform(key, (B, 84, 84, 4), jnp.float32)
         stats = VBNStats(
@@ -142,8 +142,9 @@ def main(B=256, only=None):
                 return jnp.float32(jnp.sum(a))
             out["act_old"] = marginal(old_step, ops)
 
-        for name, m in [("act_new", model),
-                        ("act_new_bf16", VirtualBNDQN(num_actions=18, compute_dtype="bfloat16"))]:
+        for name, m in [("act_new", VirtualBNDQN(num_actions=18, forward_impl="split")),
+                        ("act_new_bf16", VirtualBNDQN(num_actions=18, compute_dtype="bfloat16",
+                                                      forward_impl="split"))]:
             if want(name):
                 ops = mk_ops(m)
                 def new_step(ops, t, _m=m):
@@ -151,6 +152,23 @@ def main(B=256, only=None):
                     a = _m.batch_act_parts(ops["parts"], o, ops["keys"], ops["st"])
                     return jnp.float32(jnp.sum(a))
                 out[name] = marginal(new_step, ops)
+
+        if want("act_fused"):
+            mf = VirtualBNDQN(num_actions=18, forward_impl="fused")
+            thetas = jax.vmap(mf.init_theta)(jax.random.split(key, B))
+            parts = mf.prepare_parts(jax.vmap(mf.unflatten)(thetas))
+            fops = mf.fuse_prepare(parts, stats)
+            # on-chip correctness: fused argmax == split argmax
+            split_a = np.asarray(model.batch_act_parts(
+                model.prepare_parts(jax.vmap(model.unflatten)(thetas)), obs, keys, stats))
+            fused_a = np.asarray(jnp.argmax(mf.batch_scores_fused(fops, obs), axis=-1))
+            match = float((split_a == fused_a).mean())
+            print(f"  [fused vs split action match: {match:.4f}]", file=sys.stderr, flush=True)
+            def fused_step(ops, t):
+                o = ops["obs"] + 1e-6 * t.astype(jnp.float32)
+                a = jnp.argmax(mf.batch_scores_fused(ops["fops"], o), axis=-1)
+                return jnp.float32(jnp.sum(a))
+            out["act_fused"] = marginal(fused_step, {"obs": obs, "fops": fops})
 
     for k, v in out.items():
         print(f"{k:16s} {v * 1e3:8.3f} ms/step  {v / B * 1e6:8.2f} us/member "

@@ -1,23 +1,33 @@
-"""Fully-fused Pallas population forward for the VBN small-DQN.
+"""Fused Pallas population forward for the VBN small-DQN — two kernels.
 
 One grid step = one member: Mosaic's block pipeline streams member i+1's
-weights (the dominant HBM traffic — fc/w is 991k of the net's 1.008M
-params) into VMEM while member i computes conv2 → fc → out entirely
-on-chip, with zero intermediate HBM round-trips. This is the end state of
-the IndexedBatchMatMul replacement (ops/indexedmatmul.cpp:145-214): the
+weights into VMEM while member i computes, with no intermediate HBM
+round-trips inside each kernel. This is the end state of the
+IndexedBatchMatMul replacement (ops/indexedmatmul.cpp:145-214): the
 composite XLA path costs ~5.9 µs/member (bf16, B=256, measured r3); the
-fused kernel's floor is the ~2.2 MB/member weight DMA ≈ 2.7 µs at v5e HBM.
+fused path's floor is the ~2.2 MB/member weight DMA ≈ 2.7 µs at v5e HBM.
 
-Division of labor: conv1's im2col runs OUTSIDE in XLA (extract_patches is
-member-independent data movement; shipping patches costs +226 KB/member,
-~10% extra traffic, and saves the kernel a 5-D transpose); conv2's im2col,
-both VBN affines, the fc mat-vec and the out layer run in-kernel.
+Why TWO kernels: the natural single-kernel design needs the conv2→fc
+flatten [121,32] → [1,3872] in-kernel, a lane-merge relayout Mosaic rejects
+("infer-vector-layout: unsupported shape cast", measured on v5e). The
+flatten is therefore done BETWEEN kernels by XLA (a 15 KB/member HBM
+round-trip — noise next to the 2 MB fc weights):
+
+  kernel A  conv1 GEMM → folded-VBN relu → in-kernel conv2 im2col →
+            conv2 GEMM → folded-VBN relu → x2 [121, 32]
+  (XLA)     x2 reshape [3872] + bf16 cast
+  kernel B  fc mat-vec [1,3872]·[3872,256] → folded-VBN relu →
+            out layer [1,256]·[256,64] + bias → scores
+
+conv1's im2col also runs outside in XLA (extract_patches is
+member-independent data movement; +226 KB/member, ~10% extra traffic,
+saves a 5-D in-kernel transpose).
 
 The VBN normalization is pre-folded per member into scale/shift pairs:
     y = x̂·a + c,  a = inv_σ·(1+γ),  c = b − µ·a
 (batchnorm.py:74-77 moments; the fold is exact algebra, fp-reassociated).
 
-Layout contract (built by `fuse_prepare`):
+Layout contract (built by `VirtualBNDQN.fuse_prepare`):
   patches1 [B, 441, 256] bf16   im2col of the 84×84×4 obs, k8 s4 SAME
   w1       [B, 256, 16]  bf16   conv1 HWIO reshaped [k·k·cin, 16]
   w2       [B, 256, 32]  bf16   conv2 HWIO reshaped, K order (i, j, c)
@@ -45,25 +55,22 @@ FC = 256
 NOUT = 64                # padded action lanes
 
 
-def _fused_kernel(p1_ref, w1_ref, a1_ref, c1_ref, w2_ref, a2_ref, c2_ref,
-                  wf_ref, a3_ref, c3_ref, wo_ref, bo_ref, out_ref):
+def _conv_kernel(p1_ref, w1_ref, a1_ref, c1_ref, w2_ref, a2_ref, c2_ref, x2_ref,
+                 pad_ref):
     # conv1: [441,256]·[256,16] on the MXU, then folded VBN + relu
     h1 = jnp.dot(p1_ref[0], w1_ref[0], preferred_element_type=jnp.float32)
     x1 = jnp.maximum(h1 * a1_ref[0] + c1_ref[0], 0.0)  # [441,16]
 
     # conv2 im2col, in-kernel. x1 viewed [21,21,16]; SAME pad for k4 s2 →
-    # pad rows/cols (1 low, 2 high) to [24,24,16]; strided (stride-2) slices
-    # via the [12,2,...] sublane-split view; 16 (i,j) slices reshaped
-    # [121,16] and lane-concatenated into [121, 256] with K order (i,j,c)
-    # matching w2's reshape.
-    x1 = x1.reshape(H1, H1, C1)
-    zr = jnp.zeros((1, H1, C1), jnp.float32)
-    zr2 = jnp.zeros((2, H1, C1), jnp.float32)
-    x1 = jnp.concatenate([zr, x1, zr2], axis=0)  # [24, 21, 16]
-    zc = jnp.zeros((H1 + 3, 1, C1), jnp.float32)
-    zc2 = jnp.zeros((H1 + 3, 2, C1), jnp.float32)
-    x1 = jnp.concatenate([zc, x1, zc2], axis=1)  # [24, 24, 16]
-    xv = x1.reshape(12, 2, 12, 2, C1)
+    # (1 low, 2 high) on both spatial dims, built by a static-offset store
+    # into a zeroed [24,24,16] VMEM scratch (Mosaic rejects the equivalent
+    # jnp.pad/concat as an offset-mismatched concat); then stride-2 slices
+    # via the [12,2,...] split view; 16 (i,j) slices reshaped [121,16] and
+    # lane-concatenated into [121, 256] with K order (i,j,c) matching w2's
+    # reshape.
+    pad_ref[...] = jnp.zeros((H1 + 3, H1 + 3, C1), jnp.float32)
+    pad_ref[1 : 1 + H1, 1 : 1 + H1, :] = x1.reshape(H1, H1, C1)
+    xv = pad_ref[...].reshape(12, 2, 12, 2, C1)
     pieces = []
     for i in range(K2):
         qi, ri = divmod(i, 2)
@@ -74,44 +81,65 @@ def _fused_kernel(p1_ref, w1_ref, a1_ref, c1_ref, w2_ref, a2_ref, c2_ref,
     p2 = jnp.concatenate(pieces, axis=1).astype(w2_ref.dtype)  # [121, 256]
 
     h2 = jnp.dot(p2, w2_ref[0], preferred_element_type=jnp.float32)
-    x2 = jnp.maximum(h2 * a2_ref[0] + c2_ref[0], 0.0)  # [121, 32]
+    x2_ref[0] = jnp.maximum(h2 * a2_ref[0] + c2_ref[0], 0.0)  # [121, 32]
 
-    # fc: flatten (h,w,c) → [1, 3872] (a small in-VMEM relayout), M=1 MXU
-    xf = x2.reshape(1, P2 * C2).astype(wf_ref.dtype)
-    h3 = jnp.dot(xf, wf_ref[0], preferred_element_type=jnp.float32)  # [1,256]
+
+def _head_kernel(xf_ref, wf_ref, a3_ref, c3_ref, wo_ref, bo_ref, out_ref):
+    # fc: M=1 MXU mat-vec over the member's 991k fc weights (the HBM bill)
+    h3 = jnp.dot(xf_ref[0], wf_ref[0], preferred_element_type=jnp.float32)  # [1,256]
     x3 = jnp.maximum(h3 * a3_ref[0] + c3_ref[0], 0.0)
-
     # out layer (f32; padded lanes carry -1e9 bias so they never win argmax)
     out_ref[0] = jnp.dot(x3, wo_ref[0], preferred_element_type=jnp.float32) + bo_ref[0]
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def vbn_dqn_fused_scores(ops: dict, interpret: bool = False) -> jax.Array:
-    """ops: the `fuse_prepare` layout dict → padded scores [B, 64] f32."""
-    B = ops["patches1"].shape[0]
-    spec = lambda *shape: pl.BlockSpec(
+def _spec(*shape):
+    return pl.BlockSpec(
         (1,) + shape, lambda i: (i,) + (0,) * len(shape), memory_space=pltpu.VMEM
     )
-    wbytes = (P1 * KK1 + KK1 * C1 + KK2 * C2 + P2 * C2 * FC) * 2 + FC * NOUT * 4
-    return pl.pallas_call(
-        _fused_kernel,
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def vbn_dqn_fused_scores(ops: dict, interpret: bool = False) -> jax.Array:
+    """ops: the `fuse_prepare` layout dict (+ patches1) → padded scores
+    [B, 64] f32."""
+    B = ops["patches1"].shape[0]
+    x2 = pl.pallas_call(
+        _conv_kernel,
         grid=(B,),
         in_specs=[
-            spec(P1, KK1),            # patches1
-            spec(KK1, C1), spec(1, C1), spec(1, C1),   # w1, a1, c1
-            spec(KK2, C2), spec(1, C2), spec(1, C2),   # w2, a2, c2
-            spec(P2 * C2, FC), spec(1, FC), spec(1, FC),  # wf, a3, c3
-            spec(FC, NOUT), spec(1, NOUT),             # wo, bo
+            _spec(P1, KK1),
+            _spec(KK1, C1), _spec(1, C1), _spec(1, C1),
+            _spec(KK2, C2), _spec(1, C2), _spec(1, C2),
         ],
-        out_specs=spec(1, NOUT),
-        out_shape=jax.ShapeDtypeStruct((B, 1, NOUT), jnp.float32),
+        out_specs=_spec(P2, C2),
+        out_shape=jax.ShapeDtypeStruct((B, P2, C2), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((H1 + 3, H1 + 3, C1), jnp.float32)],
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
-            flops=2 * B * (P1 * KK1 * C1 + P2 * KK2 * C2 + P2 * C2 * FC + FC * NOUT),
-            bytes_accessed=B * wbytes,
+            flops=2 * B * (P1 * KK1 * C1 + P2 * KK2 * C2),
+            bytes_accessed=B * (P1 * KK1 * 2 + (KK1 * C1 + KK2 * C2) * 2 + P2 * C2 * 4),
             transcendentals=0,
         ),
     )(
         ops["patches1"], ops["w1"], ops["a1"], ops["c1"], ops["w2"], ops["a2"],
-        ops["c2"], ops["wf"], ops["a3"], ops["c3"], ops["wo"], ops["bo"],
-    )[:, 0, :]
+        ops["c2"],
+    )
+    xf = x2.reshape(B, 1, P2 * C2).astype(ops["wf"].dtype)  # XLA-side flatten
+    scores = pl.pallas_call(
+        _head_kernel,
+        grid=(B,),
+        in_specs=[
+            _spec(1, P2 * C2),
+            _spec(P2 * C2, FC), _spec(1, FC), _spec(1, FC),
+            _spec(FC, NOUT), _spec(1, NOUT),
+        ],
+        out_specs=_spec(1, NOUT),
+        out_shape=jax.ShapeDtypeStruct((B, 1, NOUT), jnp.float32),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * (P2 * C2 * FC + FC * NOUT),
+            bytes_accessed=B * (P2 * C2 * FC * 2 + FC * NOUT * 4 + P2 * C2 * 2),
+            transcendentals=0,
+        ),
+    )(xf, ops["wf"], ops["a3"], ops["c3"], ops["wo"], ops["bo"])
+    return scores[:, 0, :]

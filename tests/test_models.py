@@ -324,3 +324,17 @@ class TestFusedVBNDQN:
         assert not m._use_fused()  # CPU backend in tests
         m2 = VirtualBNDQN(num_actions=6, in_hw=20, in_ch=2, forward_impl="auto")
         assert not m2._fused_eligible()
+
+    def test_population_linear_ktiled(self):
+        """Large-K members (LargeDQN fc scale) stream in K tiles with
+        in-place output accumulation — must match the einsum exactly."""
+        from deep_neuroevolution_tpu.ops.pallas_forward import (
+            population_linear, population_linear_ref)
+
+        key = jax.random.PRNGKey(7)
+        B, K, N = 2, 7744, 512  # forces the k-tiled branch (K·N > 4096·256)
+        x = jax.random.normal(key, (B, K), jnp.float32) * 0.1
+        W = jax.random.normal(jax.random.fold_in(key, 1), (B, K, N), jnp.float32) * 0.1
+        y = population_linear(x, W, interpret=True)
+        yr = population_linear_ref(x, W)
+        np.testing.assert_allclose(np.asarray(y), np.asarray(yr), rtol=2e-4, atol=2e-4)

@@ -68,6 +68,7 @@ def bench_conv_population(
     reps=3,
     compute_dtype="bfloat16",
     obs_mode="gray",
+    model_factory=None,
 ):
     """Device pipeline steps/s for B distinct VBN-DQN members (marginal).
 
@@ -85,14 +86,20 @@ def bench_conv_population(
     )
     from deep_neuroevolution_tpu.models.batchnorm import VirtualBNDQN
 
-    model = VirtualBNDQN(num_actions=18, compute_dtype=compute_dtype)
+    if model_factory is None:
+        model = VirtualBNDQN(num_actions=18, compute_dtype=compute_dtype)
+    else:
+        model = model_factory()
     pre = preprocess_gray_frames if obs_mode == "gray" else preprocess_frames
     results = {}
     for B in batch_sizes:
         key = jax.random.PRNGKey(0)
         thetas = jax.vmap(model.init_theta)(jax.random.split(key, B))
-        ref_batch = jax.random.uniform(key, (128, 84, 84, 4), jnp.float32)
-        stats = model.batch_ref_stats(thetas, ref_batch)  # per-gen, amortized
+        if model.needs_ref_batch:
+            ref_batch = jax.random.uniform(key, (128, 84, 84, 4), jnp.float32)
+            stats = model.batch_ref_stats(thetas, ref_batch)  # per-gen, amortized
+        else:
+            stats = None
         act = model.make_batch_act()
         # hoist unflatten/casts out of the step loop exactly as the rollout
         # engines do (rollout.py / rollout_host.py call act.prepare once)
@@ -255,13 +262,26 @@ if __name__ == "__main__":
     p.add_argument("--json", action="store_true", help="dump the full result dict")
     p.add_argument(
         "--only",
-        choices=["conv", "conv_indexed", "grad", "grad_large", "maze"],
+        choices=["conv", "conv_indexed", "conv_large", "grad", "grad_large", "maze"],
         help="run a single measurement (separate processes keep tunnel sessions short)",
     )
     args = p.parse_args()
     if args.only == "conv":
         conv, dim = bench_conv_population()
         print(json.dumps({"conv": {str(k): v for k, v in conv.items()}, "vbn_dqn_params": dim}))
+    elif args.only == "conv_large":
+        # GA-Atari forward: the LargeDQN (ga_atari_config.json "LargeModel",
+        # ~4M params/member — fc streams through the K-tiled Pallas mat-vec)
+        from deep_neuroevolution_tpu.models import LargeDQN
+
+        def mk(**kw):
+            return LargeDQN(num_actions=18, compute_dtype="bfloat16", **kw)
+
+        import deep_neuroevolution_tpu.models.batchnorm  # noqa: F401
+        conv, dim = bench_conv_population(
+            batch_sizes=(64, 256), model_factory=mk
+        )
+        print(json.dumps({"conv_large": {str(k): v for k, v in conv.items()}, "large_dqn_params": dim}))
     elif args.only == "conv_indexed":
         # the r2 reference-exact path (device palette gather, f32) — kept to
         # quantify what the engine-side LUT + bf16 buy

@@ -58,11 +58,13 @@ class VirtualBNDQN(Model):
     # fc-layer batched mat-vec backend (core.py pop_matvec): 'auto' = Pallas
     # member-pipelined kernel on TPU, batched einsum elsewhere
     matvec_impl: str = "auto"
-    # whole-forward backend: 'fused' = single Pallas kernel per member
-    # (ops/pallas_fused_dqn.py — conv2 im2col + VBN affines + fc + out all
-    # in-VMEM, one weight DMA stream; default-topology nets only),
-    # 'split' = batch-explicit XLA + pop_matvec fc, 'auto' = fused on TPU
-    # when the topology allows, split elsewhere
+    # whole-forward backend: 'split' = batch-explicit XLA GEMMs +
+    # pop_matvec fc (the measured winner: 5.94 µs/member bf16 at B=256 on
+    # v5e); 'fused' = two Pallas kernels per member (ops/pallas_fused_dqn.py
+    # — measured 6.53 µs/member: the conv patches' HBM round-trip and the
+    # concat-free 16-GEMM conv2 outweigh the fusion gain on this topology;
+    # kept for future Mosaic versions with lane-merge reshape support);
+    # 'auto' = split
     forward_impl: str = "auto"
 
     LAYERS: Tuple[Tuple[str, int, int, int], ...] = (("conv1", 16, 8, 4), ("conv2", 32, 4, 2))
@@ -210,12 +212,10 @@ class VirtualBNDQN(Model):
         )
 
     def _use_fused(self) -> bool:
-        from .core import _on_tpu
-
         if self.forward_impl == "fused":
             assert self._fused_eligible(), "fused kernel needs the default topology"
             return True
-        return self.forward_impl == "auto" and self._fused_eligible() and _on_tpu()
+        return False  # 'auto' = split: measured faster than fused (r3, v5e)
 
     def fuse_prepare(self, parts, stats: VBNStats) -> dict:
         """Per-rollout layout build for ops/pallas_fused_dqn.py: bf16 weight

@@ -61,26 +61,27 @@ def _conv_kernel(p1_ref, w1_ref, a1_ref, c1_ref, w2_ref, a2_ref, c2_ref, x2_ref,
     h1 = jnp.dot(p1_ref[0], w1_ref[0], preferred_element_type=jnp.float32)
     x1 = jnp.maximum(h1 * a1_ref[0] + c1_ref[0], 0.0)  # [441,16]
 
-    # conv2 im2col, in-kernel. x1 viewed [21,21,16]; SAME pad for k4 s2 →
-    # (1 low, 2 high) on both spatial dims, built by a static-offset store
-    # into a zeroed [24,24,16] VMEM scratch (Mosaic rejects the equivalent
-    # jnp.pad/concat as an offset-mismatched concat); then stride-2 slices
-    # via the [12,2,...] split view; 16 (i,j) slices reshaped [121,16] and
-    # lane-concatenated into [121, 256] with K order (i,j,c) matching w2's
-    # reshape.
+    # conv2, in-kernel, WITHOUT materializing the [121,256] im2col matrix:
+    # Mosaic rejects both the pad-concat and the 16-way lane-concat of the
+    # strided slices (sublane-offset mismatches), so conv2 is computed as
+    # the K-split sum  h2 = Σ_{(i,j)} patch_{ij} [121,16] · w2[(i,j)-rows]
+    # [16,32] — 16 small MXU GEMMs accumulating in registers, exactly the
+    # same contraction in (i,j,c) order as w2's [256,32] reshape. SAME pad
+    # (1 low, 2 high) is a static-offset store into a zeroed VMEM scratch;
+    # stride-2 slicing rides the [12,2,...] split view.
     pad_ref[...] = jnp.zeros((H1 + 3, H1 + 3, C1), jnp.float32)
     pad_ref[1 : 1 + H1, 1 : 1 + H1, :] = x1.reshape(H1, H1, C1)
     xv = pad_ref[...].reshape(12, 2, 12, 2, C1)
-    pieces = []
+    h2 = jnp.zeros((P2, C2), jnp.float32)
     for i in range(K2):
         qi, ri = divmod(i, 2)
         for j in range(K2):
             qj, rj = divmod(j, 2)
             sl = xv[qi : qi + H2, ri, qj : qj + H2, rj, :]  # [11, 11, 16]
-            pieces.append(sl.reshape(P2, C1))
-    p2 = jnp.concatenate(pieces, axis=1).astype(w2_ref.dtype)  # [121, 256]
-
-    h2 = jnp.dot(p2, w2_ref[0], preferred_element_type=jnp.float32)
+            patch = sl.reshape(P2, C1).astype(w2_ref.dtype)
+            k = i * K2 + j
+            wk = w2_ref[0, k * C1 : (k + 1) * C1, :]  # [16, 32]
+            h2 = h2 + jnp.dot(patch, wk, preferred_element_type=jnp.float32)
     x2_ref[0] = jnp.maximum(h2 * a2_ref[0] + c2_ref[0], 0.0)  # [121, 32]
 
 

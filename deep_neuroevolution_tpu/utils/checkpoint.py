@@ -220,10 +220,14 @@ def load_trainer(path: str, trainer) -> None:
     with open(path, "rb") as f:
         state = pickle.load(f)
     # family match, not exact class: a single-device snapshot resumes into a
-    # pod trainer (scale-out restart = recreate + resume, SURVEY §5.3) and
-    # vice versa — PodESTrainer etc. subclass the single-device trainers
+    # pod (device-mesh) or host-pod (per-process engine pools) trainer and
+    # vice versa (scale-out restart = recreate + resume, SURVEY §5.3) —
+    # Pod*/HostPod* subclass the single-device trainers
     def family(name: str) -> str:
-        return name.replace("Pod", "", 1) if name.startswith("Pod") else name
+        for prefix in ("HostPod", "Pod"):
+            if name.startswith(prefix):
+                return name[len(prefix):]
+        return name
 
     assert family(state["type"]) == family(type(trainer).__name__), (
         state["type"], type(trainer).__name__,

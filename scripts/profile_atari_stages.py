@@ -88,7 +88,8 @@ def main(B=256, only=None):
                 return jnp.sum(o)
             out["preprocess"] = marginal(pre_step, {"frames": frames})
 
-    fc_stages = [s for s in ("fc_xla_f32", "fc_xla_bf16", "fc_pallas_f32", "fc_pallas_bf16") if want(s)]
+    fc_stages = [s for s in ("fc_xla_f32", "fc_xla_bf16", "fc_xla_honest_bf16",
+                             "fc_pallas_f32", "fc_pallas_bf16") if want(s)]
     if fc_stages:
         from deep_neuroevolution_tpu.ops.pallas_forward import population_linear
 
@@ -97,7 +98,16 @@ def main(B=256, only=None):
         for name in fc_stages:
             dt = jnp.bfloat16 if name.endswith("bf16") else jnp.float32
             ops = {"x": x.astype(dt), "W": W.astype(dt)}
-            if "pallas" in name:
+            if "honest" in name:
+                # tanh perturbation: NON-distributive over the einsum, so
+                # XLA cannot hoist the dot out of the scan (the linear
+                # x·(1+eps·t) tweak was hoistable -> r3's 0.36 ms reading
+                # was optimistic)
+                def fc_step(ops, t):
+                    xx = jnp.tanh(ops["x"] + t.astype(ops["x"].dtype))
+                    y = jnp.einsum("bk,bkn->bn", xx, ops["W"], preferred_element_type=jnp.float32)
+                    return jnp.sum(y)
+            elif "pallas" in name:
                 def fc_step(ops, t):
                     y = population_linear(ops["x"] * (1 + 1e-3 * t.astype(ops["x"].dtype)), ops["W"])
                     return jnp.sum(y)
@@ -108,7 +118,8 @@ def main(B=256, only=None):
                     return jnp.sum(y)
             out[name] = marginal(fc_step, ops)
 
-    heavy = [s for s in ("conv_batch", "act_old", "act_new", "act_new_bf16", "act_fused") if want(s)]
+    heavy = [s for s in ("conv_batch", "conv_batch_bf16", "act_old", "act_new",
+                         "act_new_bf16", "act_fused") if want(s)]
     if heavy:
         obs = jax.random.uniform(key, (B, 84, 84, 4), jnp.float32)
         stats = VBNStats(
@@ -132,6 +143,18 @@ def main(B=256, only=None):
                 h2 = jax.nn.relu(batch_conv2d(ops["parts"]["conv2/w"], h1, stride=2))
                 return jnp.sum(h2)
             out["conv_batch"] = marginal(conv_step, ops)
+
+        if want("conv_batch_bf16"):
+            from deep_neuroevolution_tpu.models.core import batch_conv2d
+
+            ops = mk_ops(VirtualBNDQN(num_actions=18, compute_dtype="bfloat16",
+                                      forward_impl="split"))
+            def convb_step(ops, t):
+                x = (ops["obs"] + 1e-6 * t.astype(jnp.float32)).astype(jnp.bfloat16)
+                h1 = jax.nn.relu(batch_conv2d(ops["parts"]["conv1/w"], x, stride=4)).astype(jnp.bfloat16)
+                h2 = jax.nn.relu(batch_conv2d(ops["parts"]["conv2/w"], h1, stride=2))
+                return jnp.sum(h2)
+            out["conv_batch_bf16"] = marginal(convb_step, ops)
 
         if want("act_old"):
             ops = mk_ops(model)

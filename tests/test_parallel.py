@@ -341,3 +341,36 @@ class TestPodCheckpointCompat:
         checkpoint.load_trainer(path, pod2)
         assert pod2.state.iteration == 2
         pod2.train_step()
+
+    def test_snapshot_roundtrips_between_single_and_hostpod(self, tmp_path):
+        """Host-pod (per-process engine pools) snapshots are family-compatible
+        with single-device trainers too (checkpoint.load_trainer family())."""
+        _silence()
+        from deep_neuroevolution_tpu.algos.es import ESConfig, ESTrainer
+        from deep_neuroevolution_tpu.envs.atari import AtariEnv
+        from deep_neuroevolution_tpu.models import SmallDQN
+        from deep_neuroevolution_tpu.parallel.host_pod import HostPodESTrainer
+        from deep_neuroevolution_tpu.utils import checkpoint
+
+        env = AtariEnv("toy", batch_size=4, num_threads=1, pipeline_groups=1,
+                       warp_size=20)
+        try:
+            model = SmallDQN(num_actions=env.num_actions, in_hw=20, in_ch=4)
+            table = NoiseTable.from_seed(count=model.num_params + 10_000)
+            cfg = ESConfig(noise_stdev=0.05, population_size=8,
+                           num_eval_episodes=0, episode_cutoff_mode=20)
+            hp = HostPodESTrainer(env, model, cfg, optimizer=Adam(stepsize=0.05),
+                                  noise_table=table, seed=0, emulate_procs=2)
+            hp.train_step()
+            path = str(tmp_path / "hp_snap.pkl")
+            checkpoint.save_trainer(path, hp)
+
+            single = ESTrainer(env, model, cfg, optimizer=Adam(stepsize=0.05),
+                               noise_table=table, seed=9)
+            checkpoint.load_trainer(path, single)
+            np.testing.assert_allclose(
+                np.asarray(single.state.theta), np.asarray(hp.state.theta)
+            )
+            assert single.state.iteration == 1
+        finally:
+            env.close()

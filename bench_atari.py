@@ -156,7 +156,15 @@ def bench_gradient(dim: int, npairs=2500, table_count=250_000_000, ks=(1, 6), re
         gradient_from_noise_pallas, sample_aligned_indices,
     )
 
-    table = NoiseTable.from_seed(count=table_count)
+    # table generated ON DEVICE: the bench measures streaming bandwidth, not
+    # RandomState parity, and shipping the reference-exact 1 GB host table
+    # through the axon relay takes >20 min in this environment
+    print(f"building {table_count:,}-float noise table on device...",
+          file=sys.stderr, flush=True)
+    t0 = time.time()
+    table = NoiseTable.from_key(jax.random.PRNGKey(123), count=table_count)
+    _ = np.asarray(table.noise[:8])
+    print(f"table ready in {time.time() - t0:.0f}s", file=sys.stderr, flush=True)
     key = jax.random.PRNGKey(1)
     idxs = sample_aligned_indices(key, table_count, dim, npairs)
     w = jax.random.normal(key, (npairs,), jnp.float32)
@@ -176,7 +184,8 @@ def bench_gradient(dim: int, npairs=2500, table_count=250_000_000, ks=(1, 6), re
             return acc
 
         for K in ks:
-            _timed_fetch(many, table.noise, w, K)  # compile + warm
+            t = _timed_fetch(many, table.noise, w, K)  # compile + warm
+            print(f"  [{name} compile+run K={K}: {t:.0f}s]", file=sys.stderr, flush=True)
         d_small = min(_timed_fetch(many, table.noise, w, ks[0]) for _ in range(reps))
         d_big = min(_timed_fetch(many, table.noise, w, ks[1]) for _ in range(reps))
         dt = (d_big - d_small) / (ks[1] - ks[0])

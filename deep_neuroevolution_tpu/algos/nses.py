@@ -296,6 +296,13 @@ class NSESTrainer:
         idxs, thetas = _make_antithetic(
             theta, self.noise.noise, key, npairs, jnp.asarray(cfg.noise_stdev, jnp.float32)
         )
+        # under-filled rounds (e.g. a host-pod sub-round whose population
+        # share is below the slot count) pad to the engine's B slots with the
+        # last member; every consumer below trims back to [: 2*npairs]
+        B = self.env.batch_size
+        if thetas.shape[0] < B:
+            pad = jnp.broadcast_to(thetas[-1:], (B - thetas.shape[0],) + thetas.shape[1:])
+            thetas = jnp.concatenate([thetas, pad])
         if self.model.needs_ref_batch:
             stats = self.model.batch_ref_stats(thetas, self.ref_batch)
             params = (thetas, stats)

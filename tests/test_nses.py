@@ -233,3 +233,39 @@ class TestArchiveGrowth:
             tr.train_step()
         assert int(tr.archive.count) == 2 + 4
         assert tr.archive.points.shape[0] >= 6
+
+
+class TestHostPodNSES:
+    def test_hostpod_nses_emulation_runs_and_matches_columns(self):
+        """HostPodNSESTrainer (per-process engine pools, parallel/host_pod.py)
+        in 2-sub-round emulation: the global perturbed-eval columns cover
+        nproc x local pairs, the archive grows per iteration, and the update
+        is finite — the NSES arm of the host-pod determinism contract (the
+        ES/GA arms are tested bit-identical across real OS processes in
+        test_multiprocess.py)."""
+        _silence()
+        from deep_neuroevolution_tpu.envs.atari import AtariEnv
+        from deep_neuroevolution_tpu.models import SmallDQN
+        from deep_neuroevolution_tpu.parallel.host_pod import HostPodNSESTrainer
+
+        env = AtariEnv("toy", batch_size=8, num_threads=1, pipeline_groups=1)
+        try:
+            model = SmallDQN(num_actions=env.num_actions)
+            cfg = NSESConfig(
+                noise_stdev=0.02, population_size=8, k=3,
+                meta_population_size=2, num_rollouts=1,
+                selection_method="round_robin", archive_capacity=64,
+                episode_cutoff_mode=20, bc_mode="final",
+            )
+            tr = HostPodNSESTrainer(
+                env, model, cfg, noise_table=NoiseTable.from_seed(count=1_500_000),
+                seed=0, emulate_procs=2,
+            )
+            n0 = int(tr.archive.count)
+            out = tr.train_step()
+            # npairs_local = ceil(4/2)=2 per sub-round x 2 sub-rounds = 4 pairs
+            assert out["novelty"].shape == (4, 2)
+            assert int(tr.archive.count) == n0 + 1
+            assert np.isfinite(out["update_ratio"])
+        finally:
+            env.close()

@@ -148,7 +148,7 @@ def bench_conv_population(
     return results, model.num_params
 
 
-def bench_gradient(dim: int, npairs=2500, table_count=250_000_000, ks=(1, 6), reps=3):
+def bench_gradient(dim: int, npairs=2500, table_count=250_000_000, ks=(1, 6), reps=3, pallas_only=False):
     """Pallas vs XLA streamed ES gradient at pop 5000 × dim params
     (marginal cost over K internally-scanned kernel calls)."""
     from deep_neuroevolution_tpu.ops import NoiseTable, fitness
@@ -170,7 +170,9 @@ def bench_gradient(dim: int, npairs=2500, table_count=250_000_000, ks=(1, 6), re
     w = jax.random.normal(key, (npairs,), jnp.float32)
     on_tpu = jax.devices()[0].platform in ("tpu", "axon")
     out = {}
-    kernels = {"xla_scan": lambda ww: fitness.gradient_from_noise(table.noise, idxs, ww, dim, 128)}
+    kernels = {}
+    if not pallas_only:
+        kernels["xla_scan"] = lambda ww: fitness.gradient_from_noise(table.noise, idxs, ww, dim, 128)
     if on_tpu:
         kernels["pallas"] = lambda ww: gradient_from_noise_pallas(table.noise, idxs, ww, dim)
     for name, kernel in kernels.items():
@@ -271,7 +273,8 @@ if __name__ == "__main__":
     p.add_argument("--json", action="store_true", help="dump the full result dict")
     p.add_argument(
         "--only",
-        choices=["conv", "conv_indexed", "conv_large", "grad", "grad_large", "maze"],
+        choices=["conv", "conv_indexed", "conv_large", "grad", "grad_pallas",
+                 "grad_large", "grad_large_pallas", "maze"],
         help="run a single measurement (separate processes keep tunnel sessions short)",
     )
     args = p.parse_args()
@@ -303,11 +306,26 @@ if __name__ == "__main__":
 
         dim = VirtualBNDQN(num_actions=18).num_params
         print(json.dumps({"gradient_pop5000": bench_gradient(dim), "dim": dim}))
+    elif args.only == "grad_pallas":
+        # pallas-only, reduced trip counts: the production gradient path at
+        # reference scale without the XLA-scan comparison arm (the big scan
+        # program has repeatedly wedged this environment's remote compiler)
+        from deep_neuroevolution_tpu.models.batchnorm import VirtualBNDQN
+
+        dim = VirtualBNDQN(num_actions=18).num_params
+        print(json.dumps({"gradient_pop5000": bench_gradient(dim, ks=(1, 4), reps=2,
+                                                             pallas_only=True), "dim": dim}))
     elif args.only == "grad_large":
         from deep_neuroevolution_tpu.models import LargeDQN
 
         dim = LargeDQN(num_actions=18).num_params
         print(json.dumps({"gradient_pop5000_large": bench_gradient(dim), "dim": dim}))
+    elif args.only == "grad_large_pallas":
+        from deep_neuroevolution_tpu.models import LargeDQN
+
+        dim = LargeDQN(num_actions=18).num_params
+        print(json.dumps({"gradient_pop5000_large": bench_gradient(dim, ks=(1, 4), reps=2,
+                                                                   pallas_only=True), "dim": dim}))
     elif args.only == "maze":
         print(json.dumps({"maze_es_frames_per_s_pop5000": bench_maze()}))
     else:

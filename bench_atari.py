@@ -307,13 +307,16 @@ if __name__ == "__main__":
         dim = VirtualBNDQN(num_actions=18).num_params
         print(json.dumps({"gradient_pop5000": bench_gradient(dim), "dim": dim}))
     elif args.only == "grad_pallas":
-        # pallas-only, reduced trip counts: the production gradient path at
-        # reference scale without the XLA-scan comparison arm (the big scan
-        # program has repeatedly wedged this environment's remote compiler)
+        # pallas-only, reduced table/trip counts: the production gradient
+        # path without the XLA-scan comparison arm, on a 50M-float table —
+        # both the scan arm and the 250M-table programs repeatedly wedged
+        # this environment's remote compiler (effective GB/s is unchanged:
+        # the stream reads pairs x dim floats either way)
         from deep_neuroevolution_tpu.models.batchnorm import VirtualBNDQN
 
         dim = VirtualBNDQN(num_actions=18).num_params
-        print(json.dumps({"gradient_pop5000": bench_gradient(dim, ks=(1, 4), reps=2,
+        print(json.dumps({"gradient_pop5000": bench_gradient(dim, table_count=50_000_000,
+                                                             ks=(1, 4), reps=2,
                                                              pallas_only=True), "dim": dim}))
     elif args.only == "grad_large":
         from deep_neuroevolution_tpu.models import LargeDQN
@@ -324,7 +327,8 @@ if __name__ == "__main__":
         from deep_neuroevolution_tpu.models import LargeDQN
 
         dim = LargeDQN(num_actions=18).num_params
-        print(json.dumps({"gradient_pop5000_large": bench_gradient(dim, ks=(1, 4), reps=2,
+        print(json.dumps({"gradient_pop5000_large": bench_gradient(dim, table_count=50_000_000,
+                                                                   ks=(1, 4), reps=2,
                                                                    pallas_only=True), "dim": dim}))
     elif args.only == "maze":
         print(json.dumps({"maze_es_frames_per_s_pop5000": bench_maze()}))

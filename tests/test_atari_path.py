@@ -472,3 +472,22 @@ class TestEngineGrayPath:
             assert (np.asarray(res.lengths) > 0).all()
         finally:
             env.close()
+
+    def test_atari_env_indexed_rollout_runs(self):
+        """The reference-exact indexed path (device-side palette decode)
+        remains available behind obs_mode='indexed'."""
+        from deep_neuroevolution_tpu.algos.rollout_host import rollout_host
+        from deep_neuroevolution_tpu.envs.atari import AtariEnv
+        from deep_neuroevolution_tpu.models import SmallDQN
+
+        env = AtariEnv("toy", batch_size=2, num_threads=1, pipeline_groups=1,
+                       obs_mode="indexed")
+        try:
+            model = SmallDQN(num_actions=env.num_actions)
+            thetas = jax.vmap(model.init_theta)(jax.random.split(jax.random.PRNGKey(3), 2))
+            res = rollout_host(
+                env, model.make_batch_act(), (thetas, None), jax.random.PRNGKey(4), 6
+            )
+            assert res.returns.shape == (2,)
+        finally:
+            env.close()

@@ -244,12 +244,16 @@ def bench_maze(pop=5000, warmup=4, reps=10):
 
 def run_all():
     conv, dim = bench_conv_population()
-    grad = bench_gradient(dim)
+    # wedge-safe gradient modes (50M device table, pallas-only) — the
+    # 250M-table / XLA-scan programs hang this environment's remote compiler
+    grad = bench_gradient(dim, table_count=50_000_000, ks=(1, 4), reps=2,
+                          pallas_only=True)
     # GA-Atari scale: the large DQN (gpu ga_atari_config.json "LargeModel")
     from deep_neuroevolution_tpu.models import LargeDQN
 
     dim_large = LargeDQN(num_actions=18).num_params
-    grad_large = bench_gradient(dim_large)
+    grad_large = bench_gradient(dim_large, table_count=50_000_000, ks=(1, 4),
+                                reps=2, pallas_only=True)
     maze_fps = bench_maze()
     best_b = max(conv, key=lambda b: conv[b]["frames_per_s"])
     return {

@@ -300,9 +300,13 @@ class NSESTrainer:
         # share is below the slot count) pad to the engine's B slots with the
         # last member; every consumer below trims back to [: 2*npairs]
         B = self.env.batch_size
+        obstat_valid = None
         if thetas.shape[0] < B:
             pad = jnp.broadcast_to(thetas[-1:], (B - thetas.shape[0],) + thetas.shape[1:])
             thetas = jnp.concatenate([thetas, pad])
+            # padded duplicate rollouts must not feed the obs moments
+            # (reference accumulates per real rollout, es.py:356-363)
+            obstat_valid = np.arange(B) < 2 * npairs
         if self.model.needs_ref_batch:
             stats = self.model.batch_ref_stats(thetas, self.ref_batch)
             params = (thetas, stats)
@@ -313,6 +317,7 @@ class NSESTrainer:
             collect_obstat=self.model.needs_ob_stat and cfg.calc_obstat_prob > 0,
             collect_bc_traj=self.traj_bc,
             obstat_prob=cfg.calc_obstat_prob if 0.0 < cfg.calc_obstat_prob < 1.0 else None,
+            obstat_valid=obstat_valid,
         )
         if self.traj_bc:
             nov = jnp.asarray(self._archive_novelty(res.bc_traj[: 2 * npairs]))

@@ -89,6 +89,7 @@ def rollout_host_batch(
     pipeline_groups: Optional[int] = None,
     collect_bc_traj: bool = False,
     obstat_prob: Optional[float] = None,
+    obstat_valid: Optional[np.ndarray] = None,
 ) -> RolloutResult:
     """Evaluate B policies on the B host-engine slots, one episode each.
 
@@ -118,6 +119,13 @@ def rollout_host_batch(
         rng.random(B) < obstat_prob if (collect_obstat and obstat_prob is not None)
         else np.ones(B, bool)
     )
+    if obstat_valid is not None:
+        # padded duplicate slots (under-filled host-pod sub-rounds) must not
+        # bias the obs moments toward the repeated member — the reference
+        # accumulates per REAL rollout only (es.py:356-363). ANDed after the
+        # Bernoulli draw so the RNG stream (and thus bit-identity across
+        # emulated vs real pod runs) is unchanged.
+        obstat_mask &= np.asarray(obstat_valid, bool)
     henv.reset(noops=noops, max_frames=timestep_limit * 4)
     gray = getattr(henv, "obs_mode", "indexed") == "gray"
 
@@ -214,6 +222,7 @@ def rollout_host_vec(
     timestep_limit: int,
     collect_obstat: bool = False,
     obstat_prob: Optional[float] = None,
+    obstat_valid: Optional[np.ndarray] = None,
 ) -> RolloutResult:
     """Vector-observation host rollout (MuJoCo family): raw [B, obs_dim]
     observations go straight to the vmapped device forward — no image
@@ -235,6 +244,9 @@ def rollout_host_vec(
         rng.random(B) < obstat_prob if (collect_obstat and obstat_prob is not None)
         else np.ones(B, bool)
     )
+    if obstat_valid is not None:
+        # see rollout_host_batch: padded slots excluded, RNG stream unchanged
+        obstat_mask &= np.asarray(obstat_valid, bool)
     henv.reset(seeds=rng.integers(0, 2**31 - 1, size=B))
 
     done = np.zeros(B, bool)
@@ -287,6 +299,7 @@ def rollout_host(
     collect_obstat: bool = False,
     collect_bc_traj: bool = False,
     obstat_prob: Optional[float] = None,
+    obstat_valid: Optional[np.ndarray] = None,
 ) -> RolloutResult:
     """Dispatch on the host env's observation kind: 'image' engines
     (Atari/ALE, preprocess+stack on device) vs 'vector' engines (MuJoCo)."""
@@ -294,6 +307,7 @@ def rollout_host(
         return rollout_host_vec(
             henv, act_fn, params, key, timestep_limit,
             collect_obstat=collect_obstat, obstat_prob=obstat_prob,
+            obstat_valid=obstat_valid,
         )
     return rollout_host_batch(
         henv,
@@ -305,6 +319,7 @@ def rollout_host(
         collect_obstat=collect_obstat,
         collect_bc_traj=collect_bc_traj,
         obstat_prob=obstat_prob,
+        obstat_valid=obstat_valid,
     )
 
 

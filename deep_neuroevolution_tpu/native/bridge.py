@@ -42,7 +42,8 @@ def _load(path: Optional[str] = None):
         lib.nevo_step.argtypes = [ctypes.c_void_p, iptr, iptr, ctypes.c_int, fptr, u8ptr]
         lib.nevo_observe.argtypes = [ctypes.c_void_p, iptr, ctypes.c_int, u8ptr]
         lib.nevo_final_state.argtypes = [ctypes.c_void_p, iptr, ctypes.c_int, fptr]
-        if hasattr(lib, "nevo_set_gray_lut"):  # absent in pre-r3 .so builds
+        lib.nevo_has_gray = hasattr(lib, "nevo_set_gray_lut")
+        if lib.nevo_has_gray:  # absent in pre-r3 .so builds
             lib.nevo_set_gray_lut.argtypes = [ctypes.c_void_p, u8ptr]
             lib.nevo_observe_gray.argtypes = [ctypes.c_void_p, iptr, ctypes.c_int, u8ptr]
         _libs[key] = lib
@@ -118,6 +119,12 @@ class HostBatchEnv:
     def set_gray_lut(self, lut256: np.ndarray) -> None:
         """Install the 256-entry indexed-color → luminance LUT used by
         observe_gray (the engine-side palette decode; env_engine.h)."""
+        if not getattr(self._lib, "nevo_has_gray", False):
+            raise RuntimeError(
+                "this engine .so predates the gray-LUT path (obs_mode='gray'); "
+                "rebuild it with `python -m deep_neuroevolution_tpu.native.build` "
+                "or construct AtariEnv(obs_mode='indexed')"
+            )
         lut = np.ascontiguousarray(lut256, np.uint8)
         assert lut.shape == (256,)
         self._lib.nevo_set_gray_lut(self._h, lut)

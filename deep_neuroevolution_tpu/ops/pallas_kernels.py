@@ -52,6 +52,27 @@ def _auto_tile(dim: int) -> int:
     return min(MAX_TILE, _round_up(dim, GRANULE))
 
 
+def _fit_tile(dim: int, table_size: int) -> int:
+    """Largest auto tile whose padded dim still fits `table_size`.
+
+    The kernel overreads up to round_up(dim, tile) per row, so the sampler
+    and the kernel must agree on the tile — both derive it from (dim,
+    table_size) here. Tables sized for smaller historical tiles (e.g.
+    count = num_params + 10k with a 512 KB auto tile) shrink the tile
+    instead of silently sampling from an empty range (jax.random.randint
+    with hi <= 0 is undefined under jit — garbage indices, OOB DMA)."""
+    tile = _auto_tile(dim)
+    while tile > GRANULE and _round_up(dim, tile) > table_size:
+        tile //= 2  # MAX_TILE is a power-of-two multiple of GRANULE
+    if _round_up(dim, max(tile, GRANULE)) > table_size:
+        raise ValueError(
+            f"noise table too small for the padded dim: table_size={table_size} "
+            f"< round_up(dim={dim}, GRANULE={GRANULE})={_round_up(dim, GRANULE)}; "
+            f"grow the table (see required_table_size)"
+        )
+    return max(tile, GRANULE)
+
+
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
@@ -105,7 +126,7 @@ def gradient_from_noise_pallas(
     interpret: bool = False,
 ) -> jax.Array:
     """g[dim] = Σ wᵢ·table[idxᵢ:idxᵢ+dim], single-pass streaming kernel."""
-    tile = tile or _auto_tile(dim)
+    tile = tile or _fit_tile(dim, table.shape[0])
     dim_pad = _round_up(dim, tile)
     ntiles = dim_pad // tile
     sub = tile // LANE  # rows of the (sub, LANE) VMEM tile
@@ -145,10 +166,16 @@ def sample_aligned_indices(
     key: jax.Array, table_size: int, dim: int, n: int, tile: int = None
 ) -> jax.Array:
     """GRANULE-aligned start offsets safe for the padded-tile overread:
-    idx + round_up(dim, tile) ≤ table_size always holds."""
-    tile = tile or _auto_tile(dim)
+    idx + round_up(dim, tile) ≤ table_size always holds. The default tile
+    matches gradient_from_noise_pallas' for the same (dim, table_size)."""
+    tile = tile or _fit_tile(dim, table_size)
     dim_pad = _round_up(dim, tile)
     hi = (table_size - dim_pad) // GRANULE + 1
+    if hi < 1:
+        raise ValueError(
+            f"noise table too small for tile={tile}: table_size={table_size} "
+            f"< round_up(dim={dim}, tile)={dim_pad}"
+        )
     return jax.random.randint(key, (n,), 0, hi, dtype=jnp.int32) * GRANULE
 
 

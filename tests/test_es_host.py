@@ -79,3 +79,32 @@ class TestHostObstatSampling:
             assert float(part.ob_count) % 5 == 0
         finally:
             env.close()
+
+    def test_obstat_valid_excludes_padded_slots(self):
+        """Padded duplicate slots of under-filled host-pod sub-rounds must
+        not bias the obs moments (ADVICE r3: nses under-filled padding);
+        the RNG stream must be unchanged by the mask."""
+        from deep_neuroevolution_tpu.algos.rollout_host import rollout_host_batch
+        from deep_neuroevolution_tpu.envs.atari import AtariEnv
+        from deep_neuroevolution_tpu.models import SmallDQN
+
+        env = AtariEnv("toy", batch_size=8, num_threads=1, pipeline_groups=1)
+        try:
+            model = SmallDQN(num_actions=env.num_actions)
+            thetas = jax.vmap(model.init_theta)(jax.random.split(jax.random.PRNGKey(0), 8))
+            valid = np.arange(8) < 6  # last 2 slots are padding
+            kwargs = dict(timestep_limit=5, out_hw=84)
+            full = rollout_host_batch(
+                env, model.make_batch_act(), (thetas, None), jax.random.PRNGKey(1),
+                collect_obstat=True, **kwargs)
+            masked = rollout_host_batch(
+                env, model.make_batch_act(), (thetas, None), jax.random.PRNGKey(1),
+                collect_obstat=True, obstat_valid=valid, **kwargs)
+            assert float(full.ob_count) == 8 * 5
+            assert float(masked.ob_count) == 6 * 5
+            # returns/lengths unaffected — the mask only gates obs moments
+            np.testing.assert_array_equal(
+                np.asarray(full.returns), np.asarray(masked.returns))
+            assert not np.allclose(np.asarray(full.ob_sum), np.asarray(masked.ob_sum))
+        finally:
+            env.close()

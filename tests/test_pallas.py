@@ -61,6 +61,28 @@ class TestPallasGradient:
     def test_required_table_size(self):
         assert required_table_size(1000, 100, tile=64) == 1000 + (128 - 100)
 
+    def test_tight_table_shrinks_tile(self):
+        """An r2-sized table (num_params + small margin) must not sample from
+        an empty randint range: the auto tile shrinks until the padded dim
+        fits (ADVICE r3 medium finding)."""
+        from deep_neuroevolution_tpu.ops.pallas_kernels import _fit_tile, _round_up
+
+        dim = 1_008_450  # VBN-DQN param count
+        table_size = dim + 10_000  # old margin: < round_up(dim, 512K tile)
+        tile = _fit_tile(dim, table_size)
+        assert _round_up(dim, tile) <= table_size
+        key = jax.random.PRNGKey(3)
+        idxs = np.asarray(sample_aligned_indices(key, table_size, dim, 64))
+        assert np.all(idxs >= 0)
+        assert np.all(idxs % GRANULE == 0)
+        assert idxs.max() + _round_up(dim, tile) <= table_size
+
+    def test_table_too_small_raises(self):
+        import pytest
+
+        with pytest.raises(ValueError, match="noise table too small"):
+            sample_aligned_indices(jax.random.PRNGKey(0), 1000, 5000, 4)
+
     def test_es_trainer_pallas_mode_cpu(self):
         """End-to-end ES with use_pallas_grad (interpreter on CPU is too slow
         for the kernel itself — verify the aligned-sampling plumbing by

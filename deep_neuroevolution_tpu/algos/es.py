@@ -46,7 +46,7 @@ import numpy as np
 from ..envs.core import Env
 from ..models.core import Model
 from ..ops import fitness, obstat, optim
-from ..ops.noise import NoiseTable
+from ..ops.noise import NoiseTable, VirtualNoise, noise_rows, sample_source_idxs
 from ..utils import tabular as tlogger
 from .rollout import collect_ref_batch, rollout_batch
 
@@ -160,15 +160,10 @@ def _perturbed_round_body(
     sampling (es.py:356-363 calc_obstat_prob)."""
     dim = theta.shape[0]
     kidx, kroll = jax.random.split(key)
-    if aligned:
-        from ..ops.pallas_kernels import sample_aligned_indices
-
-        idxs = sample_aligned_indices(kidx, table_noise.shape[0], dim, npairs)
-    else:
-        idxs = jax.random.randint(
-            kidx, (npairs,), 0, table_noise.shape[0] - dim + 1, dtype=jnp.int32
-        )
-    eps = jax.vmap(lambda i: jax.lax.dynamic_slice(table_noise, (i,), (dim,)))(idxs)
+    # `table_noise` is the raw [N] table buffer or a VirtualNoise source
+    # (counter-based regeneration — ops/noise.py source dispatch)
+    idxs = sample_source_idxs(table_noise, kidx, dim, npairs, aligned)
+    eps = noise_rows(table_noise, idxs, dim)
     thetas = jnp.concatenate([theta[None] + sigma * eps, theta[None] - sigma * eps])  # [2n, D]
 
     if model.needs_ref_batch:
@@ -329,7 +324,7 @@ def _compute_update(
     proc = fitness.process_returns(returns_n2, signreturns_n2, return_proc_mode)
     w = proc[:, 0] - proc[:, 1]
     dim = theta.shape[0]
-    if use_pallas:
+    if use_pallas and not isinstance(table_noise, VirtualNoise):
         from ..ops.pallas_kernels import gradient_from_noise_pallas
 
         g = gradient_from_noise_pallas(table_noise, noise_idxs, w, dim)
@@ -443,10 +438,11 @@ def _update_and_eval(
 
 @partial(jax.jit, static_argnums=(3,))
 def _make_antithetic(theta: jax.Array, table: jax.Array, key: jax.Array, npairs: int, sigma):
-    """Sample indices and build the ±σε theta batch (worker loop es.py:411-421)."""
+    """Sample indices and build the ±σε theta batch (worker loop es.py:411-421).
+    `table` is the raw table buffer or a VirtualNoise source."""
     dim = theta.shape[0]
-    idxs = jax.random.randint(key, (npairs,), 0, table.shape[0] - dim + 1, dtype=jnp.int32)
-    eps = jax.vmap(lambda i: jax.lax.dynamic_slice(table, (i,), (dim,)))(idxs)
+    idxs = sample_source_idxs(table, key, dim, npairs)
+    eps = noise_rows(table, idxs, dim)
     thetas = jnp.concatenate([theta[None] + sigma * eps, theta[None] - sigma * eps])
     return idxs, thetas
 
@@ -483,6 +479,10 @@ class ESTrainer:
         assert self.noise.size > model.num_params, (
             f"noise table ({self.noise.size}) must exceed num_params ({model.num_params})"
         )
+        if isinstance(self.noise, VirtualNoise) and config.use_pallas_grad:
+            # the Pallas streamed gradient reads a materialized table; the
+            # virtual source regenerates rows on the VPU instead
+            self.config = config = dataclasses.replace(config, use_pallas_grad=False)
         theta = model.init_theta(kinit)
         self.cutoff = parse_cutoff(config.episode_cutoff_mode, env.default_timestep_cutoff)
 
@@ -508,6 +508,12 @@ class ESTrainer:
         # episode-length estimate driving the quota-mode round-count guess
         self._mean_len_est = float(self.cutoff.tslimit)
         self._tstart = time.time()
+
+    @property
+    def _table_arg(self):
+        """What the jitted kernels receive: the raw [N] buffer for a
+        materialized NoiseTable, or the VirtualNoise pytree itself."""
+        return self.noise if isinstance(self.noise, VirtualNoise) else self.noise.noise
 
     # ------------------------------------------------------------------ ctx
 
@@ -538,7 +544,7 @@ class ESTrainer:
         cfg = self.config
         npairs = min(npairs, self.env.batch_size // 2)
         idxs, thetas = _make_antithetic(
-            theta, self.noise.noise, key, npairs, jnp.asarray(cfg.noise_stdev, jnp.float32)
+            theta, self._table_arg, key, npairs, jnp.asarray(cfg.noise_stdev, jnp.float32)
         )
         if self.model.needs_ref_batch:
             stats = self.model.batch_ref_stats(thetas, self.ref_batch)
@@ -661,7 +667,7 @@ class ESTrainer:
                 self.model,
                 s.theta,
                 s.opt_state,
-                self.noise.noise,
+                self._table_arg,
                 kround,
                 tslimit_dev,
                 npairs_round,
@@ -722,7 +728,7 @@ class ESTrainer:
                     self.env,
                     self.model,
                     s.theta,
-                    self.noise.noise,
+                    self._table_arg,
                     kround,
                     tslimit_dev,
                     sigma_dev,
@@ -793,7 +799,7 @@ class ESTrainer:
                 self.model,
                 s.theta,
                 s.opt_state,
-                self.noise.noise,
+                self._table_arg,
                 jnp.asarray(noise_idxs),
                 (jnp.asarray(returns_n2), jnp.asarray(signreturns_n2)),
                 cfg.return_proc_mode,
@@ -815,7 +821,7 @@ class ESTrainer:
             opt_state, theta, ratio, gnorm = _compute_update(
                 s.theta,
                 s.opt_state,
-                self.noise.noise,
+                self._table_arg,
                 jnp.asarray(noise_idxs),
                 cfg.return_proc_mode,
                 (jnp.asarray(returns_n2), jnp.asarray(signreturns_n2)),

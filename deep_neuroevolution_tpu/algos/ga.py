@@ -222,6 +222,11 @@ class GATrainer:
         self.env = env
         self.model = model
         self.config = config
+        from ..ops.noise import VirtualNoise
+
+        assert not isinstance(noise_table, VirtualNoise), (
+            "VirtualNoise is wired for ES only: seed-chain genomes index a shared materialized table (ga.py:250-264)"
+        )
         self.noise = noise_table or NoiseTable.from_seed()
         assert self.noise.size > model.num_params, (
             f"noise table ({self.noise.size}) must exceed num_params ({model.num_params})"

@@ -188,6 +188,11 @@ class NSESTrainer:
         self.model = model
         self.config = config
         self.optimizer = optimizer or optim.Adam(stepsize=0.01)
+        from ..ops.noise import VirtualNoise
+
+        assert not isinstance(noise_table, VirtualNoise), (
+            "VirtualNoise is wired for ES only: NS-ES reuses the ES table machinery (nses.py:342-344)"
+        )
         self.noise = noise_table or NoiseTable.from_seed()
         assert self.noise.size > model.num_params, (
             f"noise table ({self.noise.size}) must exceed num_params ({model.num_params})"

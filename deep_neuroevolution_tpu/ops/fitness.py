@@ -79,7 +79,13 @@ def gradient_from_noise(
     (es.py:291-296): a `lax.scan` over index chunks, each iteration gathering
     [chunk, dim] rows from HBM and accumulating one matvec. Peak live memory
     is chunk·dim·4 bytes instead of n·dim·4.
+
+    `table_noise` may also be a `VirtualNoise` source: rows are then
+    REGENERATED from the counter-based PRNG instead of read from HBM —
+    the gradient trades its table bandwidth for VPU compute entirely.
     """
+    from .noise import noise_rows
+
     n = noise_idxs.shape[0]
     pad = (-n) % chunk
     idxs = jnp.concatenate([noise_idxs, jnp.zeros((pad,), noise_idxs.dtype)])
@@ -89,7 +95,7 @@ def gradient_from_noise(
 
     def body(acc, iw):
         chunk_idxs, chunk_w = iw
-        rows = jax.vmap(lambda i: jax.lax.dynamic_slice(table_noise, (i,), (dim,)))(chunk_idxs)
+        rows = noise_rows(table_noise, chunk_idxs, dim)
         return acc + jnp.einsum("c,cd->d", chunk_w, rows), None
 
     g, _ = jax.lax.scan(body, jnp.zeros((dim,), jnp.float32), (idxs, w))

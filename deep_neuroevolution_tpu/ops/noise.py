@@ -140,3 +140,34 @@ class VirtualNoise:
     @partial(jax.jit, static_argnums=(2, 3))
     def sample_index_batch(self, key: jax.Array, dim: int, n: int) -> jax.Array:
         return jax.random.randint(key, (n,), 0, self.size - dim + 1, dtype=jnp.int32)
+
+
+# -------------------------------------------------------------- source dispatch
+# The ES/GA hot paths accept either the raw [N] f32 table buffer (NoiseTable
+# — arrays trace cheaply through jit) or a VirtualNoise pytree; these helpers
+# are the single dispatch point (isinstance is static at trace time, so each
+# source kind compiles its own program).
+
+
+def noise_rows(source, idxs: jax.Array, dim: int) -> jax.Array:
+    """[B, dim] noise rows from a table buffer or a VirtualNoise."""
+    if isinstance(source, VirtualNoise):
+        return source.get_batch(idxs, dim)
+    return jax.vmap(lambda i: jax.lax.dynamic_slice(source, (i,), (dim,)))(idxs)
+
+
+def noise_source_size(source):
+    return source.size if isinstance(source, VirtualNoise) else source.shape[0]
+
+
+def sample_source_idxs(source, key: jax.Array, dim: int, n: int, aligned: bool = False):
+    """Valid start offsets; `aligned` requests the GRANULE-aligned sampling
+    of the Pallas gradient contract (meaningless for VirtualNoise, whose
+    indices are opaque stream ids)."""
+    if isinstance(source, VirtualNoise):
+        return source.sample_index_batch(key, dim, n)
+    if aligned:
+        from .pallas_kernels import sample_aligned_indices
+
+        return sample_aligned_indices(key, source.shape[0], dim, n)
+    return jax.random.randint(key, (n,), 0, source.shape[0] - dim + 1, dtype=jnp.int32)

@@ -51,6 +51,12 @@ class _PodMixin:
                 "scale by per-host engine pools — run one engine per process "
                 "(see README scale-out notes)"
             )
+        from ..ops.noise import VirtualNoise
+
+        assert not isinstance(self.noise, VirtualNoise), (
+            "VirtualNoise is wired for the single-device ESTrainer only; "
+            "run with overrides {'pod': false} (pod kernels read the shared table buffer)"
+        )
         self.mesh = mesh if mesh is not None else make_pop_mesh()
         self._n_dev = int(self.mesh.devices.size)
         self._log_enabled = distributed.is_coordinator()

@@ -158,6 +158,8 @@ def load_experiment(
                 ctor = functools.partial(ctor, emulate_procs=int(emulate))
             return ctor
         pod = overrides.get("pod", "auto")
+        if pod == "auto" and overrides.get("noise") == "virtual":
+            pod = False  # VirtualNoise is wired for the single-device trainer
         want = pod is True or (pod == "auto" and jax.device_count() > 1)
         if not want:
             return single_ctor
@@ -173,7 +175,15 @@ def load_experiment(
     # MuJoCo BC choice) patched by run-time overrides (batch_size etc.)
     env_kwargs = {**exp.get("env_kwargs", {}), **overrides.get("env_kwargs", {})}
     noise_table = None
-    if "noise_size" in overrides:
+    if overrides.get("noise") == "virtual":
+        # counter-based noise source: no HBM table at all, rows regenerate
+        # on the VPU (ops/noise.py VirtualNoise; trades the gradient's table
+        # bandwidth for compute — documented divergence from the reference's
+        # materialized RandomState(123) stream)
+        from ..ops.noise import VirtualNoise
+
+        noise_table = VirtualNoise.from_seed(count=overrides.get("noise_size", 250_000_000))
+    elif "noise_size" in overrides:
         noise_table = NoiseTable.from_seed(count=overrides["noise_size"])
 
     if "game" in exp:  # ---------------- GPU schema

@@ -20,9 +20,18 @@ Stages:
 """
 import argparse
 import json
+import os
 import sys
 import time
 from functools import partial
+
+if os.environ.get("NEVO_PLATFORM"):  # CPU smoke runs (tests/dev boxes)
+    import jax._src.xla_bridge as _xb
+
+    _xb._backend_factories.pop("axon", None)
+    import jax
+
+    jax.config.update("jax_platforms", os.environ["NEVO_PLATFORM"])
 
 import jax
 import jax.numpy as jnp
@@ -59,6 +68,90 @@ def marginal(step, operands, ks=(2, 10), reps=2):
     r = (db - ds) / (ks[1] - ks[0])
     print(f"  [marginal {r * 1e3:.3f} ms/iter]", file=sys.stderr, flush=True)
     return r
+
+
+def main_large(B=256, only=None):
+    """LargeDQN (GA-Atari, ga_atari_config.json "LargeModel", 4,052,658
+    params/member) per-stage profile — VERDICT r3 weak #1: conv_large ran at
+    ~186 GB/s effective, 4x below the fc's own HBM roof, and nobody had
+    attributed where the 43.5 us/member went. Stages (all bf16 weights, the
+    production dtype):
+      lg_conv1/2/3   each batch-explicit conv GEMM alone
+      lg_convchain   conv1->conv2->conv3 chained (relu between)
+      lg_fc_pallas   K-tiled population_linear [B,7744]x[B,7744,512]
+      lg_fc_xla      honest (tanh-perturbed) batched einsum, same operands
+      lg_forward     whole batch_scores_parts (prod route)
+    """
+    from deep_neuroevolution_tpu.models import LargeDQN
+    from deep_neuroevolution_tpu.models.core import batch_conv2d
+    from deep_neuroevolution_tpu.ops.pallas_forward import population_linear
+
+    key = jax.random.PRNGKey(0)
+    out = {}
+
+    def want(name):
+        return only in (None, name)
+
+    model = LargeDQN(num_actions=18, compute_dtype="bfloat16")
+    thetas = jax.vmap(model.init_theta)(jax.random.split(key, B))
+    parts, _ = model.prepare_batch_params((thetas, None))
+    del thetas
+    obs = jax.random.uniform(key, (B, 84, 84, 4), jnp.float32)
+    h1s = jax.random.uniform(key, (B, 21, 21, 32), jnp.float32).astype(jnp.bfloat16)
+    h2s = jax.random.uniform(key, (B, 11, 11, 64), jnp.float32).astype(jnp.bfloat16)
+
+    convs = {
+        "lg_conv1": ("conv1/w", obs.astype(jnp.bfloat16), 4),
+        "lg_conv2": ("conv2/w", h1s, 2),
+        "lg_conv3": ("conv3/w", h2s, 1),
+    }
+    for name, (wname, x, stride) in convs.items():
+        if want(name):
+            def cstep(ops, t, _s=stride):
+                xx = jnp.tanh(ops["x"] + t.astype(ops["x"].dtype))  # non-hoistable
+                y = batch_conv2d(ops["w"], xx, stride=_s)
+                return jnp.sum(y)
+            out[name] = marginal(cstep, {"w": parts[wname], "x": x})
+
+    if want("lg_convchain"):
+        def chain_step(ops, t):
+            x = jnp.tanh(ops["obs"] + t.astype(jnp.float32)).astype(jnp.bfloat16)
+            h = x
+            for nm, s in (("conv1/w", 4), ("conv2/w", 2), ("conv3/w", 1)):
+                h = jax.nn.relu(batch_conv2d(ops[nm], h, stride=s)).astype(jnp.bfloat16)
+            return jnp.sum(h)
+        out["lg_convchain"] = marginal(
+            chain_step, {"obs": obs, "conv1/w": parts["conv1/w"],
+                         "conv2/w": parts["conv2/w"], "conv3/w": parts["conv3/w"]})
+
+    if want("lg_fc_pallas") or want("lg_fc_xla"):
+        xf = jax.random.normal(key, (B, 7744), jnp.float32).astype(jnp.bfloat16)
+        Wf = parts["fc/w"]  # [B, 7744, 512] bf16
+        if want("lg_fc_pallas"):
+            def fcp_step(ops, t):
+                y = population_linear(jnp.tanh(ops["x"] + t.astype(ops["x"].dtype)), ops["W"])
+                return jnp.sum(y)
+            out["lg_fc_pallas"] = marginal(fcp_step, {"x": xf, "W": Wf})
+        if want("lg_fc_xla"):
+            def fcx_step(ops, t):
+                xx = jnp.tanh(ops["x"] + t.astype(ops["x"].dtype))
+                y = jnp.einsum("bk,bkn->bn", xx, ops["W"], preferred_element_type=jnp.float32)
+                return jnp.sum(y)
+            out["lg_fc_xla"] = marginal(fcx_step, {"x": xf, "W": Wf})
+
+    if want("lg_forward"):
+        keys = jax.random.split(key, B)
+        def fwd_step(ops, t):
+            o = jnp.tanh(ops["obs"] + t.astype(jnp.float32))
+            a = model.batch_act_parts(ops["parts"], o, ops["keys"], None)
+            return jnp.float32(jnp.sum(a))
+        out["lg_forward"] = marginal(fwd_step, {"obs": obs, "parts": parts, "keys": keys})
+
+    for k, v in out.items():
+        print(f"{k:16s} {v * 1e3:8.3f} ms/step  {v / B * 1e6:8.2f} us/member "
+              f"({B / v:,.0f} member-steps/s)", file=sys.stderr, flush=True)
+    print(json.dumps({"B": B, "model": "large", "stages_ms": {k: v * 1e3 for k, v in out.items()}}),
+          flush=True)
 
 
 def main(B=256, only=None):
@@ -203,5 +296,6 @@ if __name__ == "__main__":
     p = argparse.ArgumentParser()
     p.add_argument("--B", type=int, default=256)
     p.add_argument("--only", default=None)
+    p.add_argument("--model", default="small", choices=["small", "large"])
     a = p.parse_args()
-    main(a.B, a.only)
+    (main_large if a.model == "large" else main)(a.B, a.only)

@@ -34,14 +34,18 @@ import numpy as np  # noqa: E402
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from deep_neuroevolution_tpu import main as cli  # noqa: E402
-from tests.hostpod_common import EXP_ES, EXP_GA, OVERRIDES  # noqa: E402
+from tests.hostpod_common import (  # noqa: E402
+    EXP_ES, EXP_ES_QUOTA, EXP_GA, EXP_NSES, EXP_RS, OVERRIDES,
+)
 
-exp = EXP_ES if algo == "es" else EXP_GA
+exp = {"es": EXP_ES, "es_quota": EXP_ES_QUOTA, "ga": EXP_GA, "rs": EXP_RS,
+       "nses": EXP_NSES}[algo]
+cli_algo = "es" if algo == "es_quota" else algo
 rc = cli.main(
     [
         "train",
         "--exp_str", json.dumps(exp),
-        "--algo", algo,
+        "--algo", cli_algo,
         "--iterations", "2",
         "--log_dir", log_dir,
         "--snapshot_freq", "0",
@@ -51,14 +55,24 @@ rc = cli.main(
 )
 assert rc == 0
 tr = cli._LAST_TRAINER
-expect = {"es": "HostPodESTrainer", "ga": "HostPodGATrainer"}[algo]
+expect = {"es": "HostPodESTrainer", "es_quota": "HostPodESTrainer",
+          "ga": "HostPodGATrainer", "rs": "HostPodRSTrainer",
+          "nses": "HostPodNSESTrainer"}[algo]
 assert type(tr).__name__ == expect, type(tr).__name__
 suffix = "" if pid == 0 else f".p{pid}"
-if algo == "es":
+if algo in ("es", "es_quota"):
     assert tr.state.iteration == 2
     np.savez(out_path + suffix, theta=np.asarray(tr.state.theta),
              episodes=tr.state.episodes_so_far)
-else:
+elif algo == "nses":
+    arch_n = int(tr.archive.count)
+    np.savez(
+        out_path + suffix,
+        parents=np.stack([np.asarray(p.theta) for p in tr.parents]),
+        archive=np.asarray(tr.archive.points)[:arch_n],
+        curr_parent=tr.curr_parent,
+    )
+else:  # ga / rs
     pop = tr.state.population
     np.savez(
         out_path + suffix,

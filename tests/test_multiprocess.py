@@ -122,11 +122,16 @@ def _emulated_hostpod(algo: str):
     import json
 
     from deep_neuroevolution_tpu import main as cli
-    from tests.hostpod_common import EXP_ES, EXP_GA, OVERRIDES
+    from tests.hostpod_common import (
+        EXP_ES, EXP_ES_QUOTA, EXP_GA, EXP_NSES, EXP_RS, OVERRIDES,
+    )
 
-    exp = EXP_ES if algo == "es" else EXP_GA
+    exp = {"es": EXP_ES, "es_quota": EXP_ES_QUOTA, "ga": EXP_GA, "rs": EXP_RS,
+           "nses": EXP_NSES}[algo]
+    cli_algo = "es" if algo == "es_quota" else algo
     rc = cli.main(
-        ["train", "--exp_str", json.dumps(exp), "--algo", algo, "--iterations", "2",
+        ["train", "--exp_str", json.dumps(exp), "--algo", cli_algo,
+         "--iterations", "2",
          "--no_resume", "--overrides", json.dumps({**OVERRIDES, "host_pod": 2})]
     )
     assert rc == 0
@@ -177,6 +182,54 @@ class TestHostPod:
             p0["chain_reprs"], np.asarray([repr(o.seeds) for o in tr.state.population])
         )
         assert str(p0["elite"]) == repr(tr.state.elite.seeds if tr.state.elite else None)
+
+    def test_rs_two_processes_bit_identical_to_emulation(self, tmp_path):
+        """HostPodRSTrainer (the HostPodGATrainer x RSTrainer diamond,
+        parallel/host_pod.py:241): random-search population columns and the
+        best-ever elite must be bit-identical across 2 real OS processes and
+        vs the sequential emulation (rs.py:111-116 semantics)."""
+        p0, p1 = self._run_workers(tmp_path, "rs")
+        np.testing.assert_array_equal(p0["fitness"], p1["fitness"])
+        np.testing.assert_array_equal(p0["chain_reprs"], p1["chain_reprs"])
+        tr = _emulated_hostpod("rs")
+        assert type(tr).__name__ == "HostPodRSTrainer"
+        np.testing.assert_array_equal(
+            p0["fitness"], np.asarray([o.fitness for o in tr.state.population], np.float32)
+        )
+        # RS candidates are single-seed chains (rs.py:210-217)
+        assert all(s.count(",") <= 1 for s in p0["chain_reprs"].astype(str))
+        assert str(p0["elite"]) == repr(tr.state.elite.seeds if tr.state.elite else None)
+
+    def test_nses_two_processes_bit_identical_to_emulation(self, tmp_path):
+        """HostPodNSESTrainer across 2 real OS processes: parent thetas,
+        novelty archive, and parent rotation must be bit-identical on both
+        processes and vs the emulation — including the under-filled-round
+        padding (batch 6, 2 local pairs -> 2 padded slots per sub-round)."""
+        p0, p1 = self._run_workers(tmp_path, "nses")
+        np.testing.assert_array_equal(p0["parents"], p1["parents"])
+        np.testing.assert_array_equal(p0["archive"], p1["archive"])
+        assert int(p0["curr_parent"]) == int(p1["curr_parent"])
+        tr = _emulated_hostpod("nses")
+        assert type(tr).__name__ == "HostPodNSESTrainer"
+        np.testing.assert_array_equal(
+            p0["parents"], np.stack([np.asarray(p.theta) for p in tr.parents])
+        )
+        arch_n = int(tr.archive.count)
+        assert p0["archive"].shape[0] == arch_n  # 2 seeds + 2 iterations
+        np.testing.assert_array_equal(p0["archive"], np.asarray(tr.archive.points)[:arch_n])
+
+    def test_hostpod_quota_uneven_rounds(self, tmp_path):
+        """Host-pod ES quota mode where the episode quota (10) does not
+        divide the global round size (2 procs x 4 slots = 8): the second
+        round tops up past the quota on BOTH processes with identical global
+        accounting (es.py:230-265 overshoot semantics)."""
+        p0, p1 = self._run_workers(tmp_path, "es_quota")
+        np.testing.assert_array_equal(p0["theta"], p1["theta"])
+        # 2 gens x 2 rounds x 8 episodes (quota 10 -> overshoot to 16)
+        assert int(p0["episodes"]) == int(p1["episodes"]) == 32
+        tr = _emulated_hostpod("es_quota")
+        np.testing.assert_array_equal(p0["theta"], np.asarray(tr.state.theta))
+        assert tr.state.episodes_so_far == 32
 
     def test_quota_mode_main_train_across_two_processes(self, tmp_path):
         """Quota-mode `main.py train` (episodes_per_batch/timesteps_per_batch,

@@ -104,6 +104,9 @@ def bench_conv_population(
         # hoist unflatten/casts out of the step loop exactly as the rollout
         # engines do (rollout.py / rollout_host.py call act.prepare once)
         prepared, stats = act.prepare((thetas, stats))
+        jax.block_until_ready(prepared)
+        del thetas  # free the f32 stack: at LargeDQN B=512 it is 8.3 GB of
+        # HBM the step never reads (only the prepared bf16 parts are used)
         frames0 = jax.random.randint(
             key, (B, 2, 210, 160), 0, 256, dtype=jnp.int32
         ).astype(jnp.uint8)
@@ -133,6 +136,7 @@ def bench_conv_population(
             dts.append(_timed_fetch(run, prepared, stats, frames0, jnp.int32(t_small)))
             dtb.append(_timed_fetch(run, prepared, stats, frames0, jnp.int32(t_big)))
         per_step = (min(dtb) - min(dts)) / (t_big - t_small)
+        del prepared, stats  # free this B's member stack before the next
         steps_per_s = B / per_step
         results[B] = {
             "engine_steps_per_s": steps_per_s,
@@ -294,8 +298,10 @@ if __name__ == "__main__":
             return LargeDQN(num_actions=18, compute_dtype="bfloat16", **kw)
 
         import deep_neuroevolution_tpu.models.batchnorm  # noqa: F401
+        # B=512 at 4.05M f32 params OOMs 16 GB HBM during theta init/prepare
+        # (8.3 GB f32 stack + bf16 parts); 384 is the feasible upper point
         conv, dim = bench_conv_population(
-            batch_sizes=(64, 256), model_factory=mk
+            batch_sizes=(64, 256, 384), model_factory=mk
         )
         print(json.dumps({"conv_large": {str(k): v for k, v in conv.items()}, "large_dqn_params": dim}))
     elif args.only == "conv_indexed":

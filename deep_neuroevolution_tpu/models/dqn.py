@@ -49,6 +49,14 @@ class SmallDQN(Model):
     # fc-layer batched mat-vec backend: 'auto' (Pallas on TPU), 'pallas',
     # 'xla' (core.py pop_matvec)
     matvec_impl: str = "auto"
+    # conv-chain backend: 'auto' (fused Pallas kernel on TPU for the 84x84
+    # DQN geometries), 'fused', 'einsum'. The fused kernel keeps each
+    # member's whole conv stack in VMEM (ops/pallas_fused_dqn.py
+    # dqn_conv_chain_fused) — the batch-explicit einsum chain round-trips
+    # im2col matrices through HBM between layers and measured ~5 us/member
+    # on the LargeDQN (results/profile_stages_r04_large.json lg_convchain)
+    conv_impl: str = "auto"
+    fused_interpret: bool = False  # interpret-mode kernels (CPU tests)
 
     LAYERS: Tuple[Tuple[str, int, int, int], ...] = (("conv1", 16, 8, 4), ("conv2", 32, 4, 2))
     FC: int = 256
@@ -95,19 +103,63 @@ class SmallDQN(Model):
     def act_parts(self, parts, obs, key=None, ctx=None):
         return jnp.argmax(self.scores_parts(parts, obs, ctx))
 
+    def _conv_fused_eligible(self) -> bool:
+        """The fused kernel covers the two reference DQN geometries:
+        84×84 → k8s4 → k4s2 [→ k3s1] (dqn.py:30-47)."""
+        geo = tuple((k, s) for _, _, k, s in self.LAYERS)
+        return (
+            self.in_hw == 84
+            and self.nonlin_type == "relu"
+            and geo in (((8, 4), (4, 2)), ((8, 4), (4, 2), (3, 1)))
+        )
+
+    def _use_fused_conv(self) -> bool:
+        if self.conv_impl == "einsum":
+            return False
+        if self.conv_impl == "fused":
+            return True
+        from .core import _on_tpu
+
+        return self._conv_fused_eligible() and _on_tpu()
+
+    def _fused_conv_acts(self, parts, obs) -> jnp.ndarray:
+        """[B, 121, c_out] f32 conv-stack activations via the one-member-per
+        -grid-step Pallas kernel; conv1's im2col runs outside in XLA
+        (member-independent data movement)."""
+        from ..ops.pallas_fused_dqn import dqn_conv_chain_fused
+        from .core import extract_patches
+
+        dt = jnp.dtype(self.compute_dtype)
+        B = obs.shape[0]
+        _, _, k1, s1 = self.LAYERS[0]
+        patches1 = extract_patches(obs.astype(dt), k1, s1, "SAME")
+        patches1 = patches1.reshape(B, patches1.shape[1] * patches1.shape[2], -1)
+        args = []
+        for name, _, _, _ in self.LAYERS:
+            w = parts[f"{name}/w"]
+            b = parts[f"{name}/b"]
+            args += [w.reshape(B, -1, w.shape[-1]),
+                     b[:, None, :].astype(jnp.float32)]
+        return dqn_conv_chain_fused(patches1, *args, interpret=self.fused_interpret)
+
     def batch_scores_parts(self, parts, obs, ctx=None):
-        """Batch-explicit population forward: conv layers as batched einsum
-        GEMMs (core.batch_conv2d), the dominant fc layer through
-        `pop_matvec` (Pallas member-pipelined mat-vec on TPU). Same math as
-        vmap(scores_parts) — the contraction per member is identical."""
+        """Batch-explicit population forward: conv layers fused in one
+        Pallas kernel per member on TPU (falling back to batched einsum
+        GEMMs, core.batch_conv2d), the dominant fc layer through
+        `pop_matvec` (Pallas member-pipelined mat-vec on TPU / XLA batched
+        einsum for VMEM-exceeding members). Same math as vmap(scores_parts)
+        — the contraction per member is identical."""
         dt = jnp.dtype(self.compute_dtype)
         nonlin = NONLINS[self.nonlin_type]
         B = obs.shape[0]
-        x = obs.astype(dt)
-        for name, _, k, s in self.LAYERS:
-            y = batch_conv2d(parts[f"{name}/w"], x, stride=s, bias=parts[f"{name}/b"])
-            x = nonlin(y).astype(dt)
-        x = x.reshape(B, -1)
+        if self._use_fused_conv() and self._conv_fused_eligible():
+            x = self._fused_conv_acts(parts, obs).astype(dt).reshape(B, -1)
+        else:
+            x = obs.astype(dt)
+            for name, _, k, s in self.LAYERS:
+                y = batch_conv2d(parts[f"{name}/w"], x, stride=s, bias=parts[f"{name}/b"])
+                x = nonlin(y).astype(dt)
+            x = x.reshape(B, -1)
         h = pop_matvec(x, parts["fc/w"], self.matvec_impl) + parts["fc/b"].astype(jnp.float32)
         x = nonlin(h).astype(jnp.float32)
         return jnp.einsum("bk,bkn->bn", x, parts["out/w"].astype(jnp.float32)) + parts["out/b"]

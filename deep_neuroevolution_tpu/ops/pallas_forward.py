@@ -45,16 +45,14 @@ def _linear_kernel(x_ref, w_ref, y_ref, *, members_per_step: int):
         y_ref[c] = jnp.dot(x_ref[c], w_ref[c], preferred_element_type=jnp.float32)
 
 
-def _linear_kernel_ktiled(x_ref, w_ref, y_ref):
-    # Grid (B, nk), k innermost: the member's K-dim streams through VMEM in
-    # tiles (needed when one member's weights exceed the double-bufferable
-    # VMEM budget — LargeDQN's fc is 7744×512 ≈ 7.9 MB bf16); the output
-    # block is revisited across k and accumulated in place.
-    @pl.when(pl.program_id(1) == 0)
-    def _():
-        y_ref[0] = jnp.zeros_like(y_ref[0])
-
-    y_ref[0] += jnp.dot(x_ref[0], w_ref[0], preferred_element_type=jnp.float32)
+# NOTE r4: a K-tiled variant (grid (B, nk), revisited output block
+# accumulated across k) existed here through r3 and was the GA-Atari
+# LargeDQN bottleneck: measured 36.4 us/member ≈ 218 GB/s at B=256 vs the
+# plain XLA batched einsum's 10.67 us ≈ 745 GB/s and a whole-member-block
+# Pallas kernel's 10.73 us for the identical [256,7744]x[256,7744,512] bf16
+# operands (scripts/exp_large_fwd.py race, results/exp_large_fwd_r04.json).
+# Mosaic's pipeline does not keep the weight-tile DMA stream saturated when
+# the output block is revisited, so large members now route to XLA below.
 
 
 @functools.partial(jax.jit, static_argnames=("members_per_step", "interpret"))
@@ -74,33 +72,16 @@ def population_linear(
     B, K = x.shape
     Bw, Kw, N = W.shape
     assert (B, K) == (Bw, Kw), (x.shape, W.shape)
-    # large-K members stream their weights in K tiles (VMEM double-buffer
-    # budget: keep a tile ≲ 2 MB so 2 in-flight tiles + head leave slack)
+    # Members whose weights exceed the member-pipelined kernel's VMEM
+    # double-buffer budget (LargeDQN fc: 7744×512 ≈ 7.9 MB bf16) go to XLA's
+    # batched einsum, which runs this shape at ~91% of the v5e HBM roof
+    # (745 GB/s measured, tanh-perturbed so nothing hoists — see the r4
+    # variant race in the module comment above).
     MAX_K_ELEMS = 4096 * 256
     if K * N > MAX_K_ELEMS and members_per_step == 1:
-        kt = max(MAX_K_ELEMS // N // 128 * 128, 128)
-        nk = -(-K // kt)
-        pad = nk * kt - K
-        if pad:
-            x = jnp.pad(x, ((0, 0), (0, pad)))
-            W = jnp.pad(W, ((0, 0), (0, pad), (0, 0)))
-        y = pl.pallas_call(
-            _linear_kernel_ktiled,
-            grid=(B, nk),
-            in_specs=[
-                pl.BlockSpec((1, 1, kt), lambda i, k: (i, 0, k), memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, kt, N), lambda i, k: (i, k, 0), memory_space=pltpu.VMEM),
-            ],
-            out_specs=pl.BlockSpec((1, 1, N), lambda i, k: (i, 0, 0), memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((B, 1, N), jnp.float32),
-            interpret=interpret,
-            cost_estimate=pl.CostEstimate(
-                flops=2 * B * K * N,
-                bytes_accessed=B * K * N * W.dtype.itemsize + B * K * x.dtype.itemsize + B * N * 4,
-                transcendentals=0,
-            ),
-        )(x[:, None, :], W)
-        return y[:, 0, :]
+        return jnp.einsum(
+            "bk,bkn->bn", x, W, preferred_element_type=jnp.float32
+        ).astype(jnp.float32)
     C = members_per_step
     assert B % C == 0, (B, C)
     grid = (B // C,)

@@ -99,6 +99,123 @@ def _spec(*shape):
     )
 
 
+# ---------------------------------------------------------------------------
+# Plain-bias conv-chain kernel (GA models: SmallDQN / LargeDQN, dqn.py:30-47)
+#
+# The r4 LargeDQN stage profile (results/profile_stages_r04_large.json)
+# showed the batch-explicit conv einsum chain costing ~5 us/member for only
+# ~0.5 MB/member of traffic: the im2col patch matrices round-trip HBM
+# between every layer and the tiny N=32/64 GEMMs starve the MXU. This
+# kernel keeps the whole conv stack of ONE member in VMEM — conv1 GEMM from
+# XLA-side patches, conv2 (k4 s2, 21→11) via the zero-padded stride-2 view,
+# optional conv3 (k3 s1, SAME) via 9 static-offset slices — with weight
+# blocks for member i+1 streaming while member i computes. Same (i, j, c)
+# contraction order as `models.core.batch_conv2d`, so results match the
+# split path bit-for-bit up to f32 accumulation order.
+# ---------------------------------------------------------------------------
+
+HPAD2 = H1 + 3  # 21 + SAME pad (1 low, 2 high) for k4 s2
+HPAD3 = H2 + 2  # 11 + SAME pad (1, 1) for k3 s1
+
+
+def _conv_chain_kernel(*refs, c1: int, c2: int, c3: int):
+    """refs: p1, w1, b1, w2, b2, [w3, b3,] out, pad2, [pad3]."""
+    has3 = c3 > 0
+    if has3:
+        p1_ref, w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref, out_ref, pad2_ref, pad3_ref = refs
+    else:
+        p1_ref, w1_ref, b1_ref, w2_ref, b2_ref, out_ref, pad2_ref = refs
+
+    # conv1: [441, kk1]·[kk1, c1] + bias, relu (dqn.py conv1 k8 s4)
+    h1 = jnp.dot(p1_ref[0], w1_ref[0], preferred_element_type=jnp.float32)
+    x1 = jnp.maximum(h1 + b1_ref[0], 0.0)  # [441, c1]
+
+    # conv2 k4 s2 SAME (21→11): zero-padded stride-2 view, K-split GEMMs
+    pad2_ref[...] = jnp.zeros((HPAD2, HPAD2, c1), jnp.float32)
+    pad2_ref[1 : 1 + H1, 1 : 1 + H1, :] = x1.reshape(H1, H1, c1)
+    xv = pad2_ref[...].reshape(HPAD2 // 2, 2, HPAD2 // 2, 2, c1)
+    h2 = jnp.zeros((P2, c2), jnp.float32)
+    for i in range(K2):
+        qi, ri = divmod(i, 2)
+        for j in range(K2):
+            qj, rj = divmod(j, 2)
+            sl = xv[qi : qi + H2, ri, qj : qj + H2, rj, :]
+            patch = sl.reshape(P2, c1).astype(w2_ref.dtype)
+            k = i * K2 + j
+            h2 = h2 + jnp.dot(
+                patch, w2_ref[0, k * c1 : (k + 1) * c1, :],
+                preferred_element_type=jnp.float32,
+            )
+    x2 = jnp.maximum(h2 + b2_ref[0], 0.0)  # [121, c2]
+    if not has3:
+        out_ref[0] = x2
+        return
+
+    # conv3 k3 s1 SAME (11→11): 9 static-offset slices of the padded grid
+    pad3_ref[...] = jnp.zeros((HPAD3, HPAD3, c2), jnp.float32)
+    pad3_ref[1 : 1 + H2, 1 : 1 + H2, :] = x2.reshape(H2, H2, c2)
+    h3 = jnp.zeros((P2, c3), jnp.float32)
+    for i in range(3):
+        for j in range(3):
+            sl = pad3_ref[i : i + H2, j : j + H2, :]
+            patch = sl.reshape(P2, c2).astype(w3_ref.dtype)
+            k = i * 3 + j
+            h3 = h3 + jnp.dot(
+                patch, w3_ref[0, k * c2 : (k + 1) * c2, :],
+                preferred_element_type=jnp.float32,
+            )
+    out_ref[0] = jnp.maximum(h3 + b3_ref[0], 0.0)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def dqn_conv_chain_fused(
+    patches1: jax.Array,  # [B, 441, k·k·cin] bf16 im2col of the obs (k8 s4)
+    w1m: jax.Array,  # [B, kk1, c1] bf16  (HWIO reshaped, (i,j,c) rows)
+    b1: jax.Array,  # [B, 1, c1] f32
+    w2m: jax.Array,  # [B, 16·c1, c2] bf16
+    b2: jax.Array,  # [B, 1, c2] f32
+    w3m: jax.Array = None,  # [B, 9·c2, c3] bf16 (LargeDQN only)
+    b3: jax.Array = None,  # [B, 1, c3] f32
+    interpret: bool = False,
+) -> jax.Array:
+    """Whole conv stack per member in one kernel → [B, 121, c_out] f32
+    activations (flatten + fc run outside: the fc weights dominate the HBM
+    bill and route through pop_matvec)."""
+    B, p1, kk1 = patches1.shape
+    c1 = w1m.shape[-1]
+    c2 = w2m.shape[-1]
+    c3 = w3m.shape[-1] if w3m is not None else 0
+    assert p1 == P1, patches1.shape
+    ins = [patches1, w1m, b1, w2m, b2]
+    in_specs = [
+        _spec(P1, kk1),
+        _spec(kk1, c1), _spec(1, c1),
+        _spec(16 * c1, c2), _spec(1, c2),
+    ]
+    scratch = [pltpu.VMEM((HPAD2, HPAD2, c1), jnp.float32)]
+    if c3:
+        ins += [w3m, b3]
+        in_specs += [_spec(9 * c2, c3), _spec(1, c3)]
+        scratch.append(pltpu.VMEM((HPAD3, HPAD3, c2), jnp.float32))
+    c_out = c3 or c2
+    out = pl.pallas_call(
+        functools.partial(_conv_chain_kernel, c1=c1, c2=c2, c3=c3),
+        grid=(B,),
+        in_specs=in_specs,
+        out_specs=_spec(P2, c_out),
+        out_shape=jax.ShapeDtypeStruct((B, P2, c_out), jnp.float32),
+        scratch_shapes=scratch,
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * (P1 * kk1 * c1 + P2 * 16 * c1 * c2 + P2 * 9 * c2 * c3),
+            bytes_accessed=B * (P1 * kk1 * 2 + (kk1 * c1 + 16 * c1 * c2 + 9 * c2 * c3) * 2
+                               + P2 * c_out * 4),
+            transcendentals=0,
+        ),
+    )(*ins)
+    return out
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def vbn_dqn_fused_scores(ops: dict, interpret: bool = False) -> jax.Array:
     """ops: the `fuse_prepare` layout dict (+ patches1) → padded scores

@@ -235,6 +235,31 @@ def main(B, only):
             return jnp.sum(_fn(ops["parts"], xx).astype(jnp.float32))
         out[name] = marginal(cstep, {"obs": obs, "parts": parts})
 
+    if want("conv_fused") or want("conv_fused_kernel"):
+        mfused = LargeDQN(num_actions=18, compute_dtype="bfloat16", conv_impl="fused")
+        if want("conv_fused"):  # obs → patches (XLA) → kernel, the in-situ route
+            def cf_step(ops, t):
+                xx = ops["obs"] + 1e-6 * t.astype(jnp.float32)
+                return jnp.sum(mfused._fused_conv_acts(ops["parts"], xx))
+            out["conv_fused"] = marginal(cf_step, {"obs": obs, "parts": parts})
+        if want("conv_fused_kernel"):  # kernel only, patches precomputed
+            from deep_neuroevolution_tpu.models.core import extract_patches
+            from deep_neuroevolution_tpu.ops.pallas_fused_dqn import dqn_conv_chain_fused
+
+            pat = extract_patches(obs.astype(jnp.bfloat16), 8, 4, "SAME")
+            pat = pat.reshape(B, -1, pat.shape[-1])
+            kargs = {"patches": pat}
+            for i, (nm, _, _, _) in enumerate(mfused.LAYERS):
+                w = parts[f"{nm}/w"]
+                kargs[f"w{i}"] = w.reshape(B, -1, w.shape[-1])
+                kargs[f"b{i}"] = parts[f"{nm}/b"][:, None, :].astype(jnp.float32)
+            def cfk_step(ops, t):
+                p = ops["patches"] * (1 + 1e-6 * t.astype(jnp.bfloat16))
+                y = dqn_conv_chain_fused(p, ops["w0"], ops["b0"], ops["w1"],
+                                         ops["b1"], ops["w2"], ops["b2"])
+                return jnp.sum(y)
+            out["conv_fused_kernel"] = marginal(cfk_step, kargs)
+
     if want("conv_equiv"):  # on-chip equivalence of the two conv routes
         a = conv_chain_nhwc(parts, obs.astype(jnp.bfloat16))
         b = conv_chain_cf(parts, obs.astype(jnp.bfloat16))

@@ -325,14 +325,40 @@ class TestFusedVBNDQN:
         m2 = VirtualBNDQN(num_actions=6, in_hw=20, in_ch=2, forward_impl="auto")
         assert not m2._fused_eligible()
 
-    def test_population_linear_ktiled(self):
-        """Large-K members (LargeDQN fc scale) stream in K tiles with
-        in-place output accumulation — must match the einsum exactly."""
+    def test_fused_conv_chain_matches_einsum_small_and_large(self):
+        """dqn_conv_chain_fused (one member's whole conv stack per grid
+        step, ops/pallas_fused_dqn.py) must match the batch-explicit einsum
+        chain for BOTH reference geometries (dqn.py:30-47) — actions
+        identical, scores within bf16 accumulation tolerance."""
+        from deep_neuroevolution_tpu.models import LargeDQN, SmallDQN
+
+        for cls in (SmallDQN, LargeDQN):
+            m_split = cls(num_actions=18, compute_dtype="bfloat16",
+                          conv_impl="einsum")
+            m_fused = cls(num_actions=18, compute_dtype="bfloat16",
+                          conv_impl="fused", fused_interpret=True)
+            assert m_fused._conv_fused_eligible()
+            B = 3
+            key = jax.random.PRNGKey(0)
+            thetas = jax.vmap(m_split.init_theta)(jax.random.split(key, B))
+            parts, _ = m_split.prepare_batch_params((thetas, None))
+            obs = jax.random.uniform(jax.random.fold_in(key, 1), (B, 84, 84, 4))
+            s_split = np.asarray(m_split.batch_scores_parts(parts, obs))
+            s_fused = np.asarray(m_fused.batch_scores_parts(parts, obs))
+            np.testing.assert_allclose(s_fused, s_split, atol=0.05, rtol=0.05)
+            np.testing.assert_array_equal(
+                np.argmax(s_split, axis=1), np.argmax(s_fused, axis=1))
+
+    def test_population_linear_large_members_route_to_xla(self):
+        """Members past the VMEM double-buffer budget (LargeDQN fc scale)
+        route to the XLA batched einsum (the r3 K-tiled Pallas kernel ran at
+        218 GB/s vs XLA's 745 — scripts/exp_large_fwd.py) and must match the
+        reference einsum exactly."""
         from deep_neuroevolution_tpu.ops.pallas_forward import (
             population_linear, population_linear_ref)
 
         key = jax.random.PRNGKey(7)
-        B, K, N = 2, 7744, 512  # forces the k-tiled branch (K·N > 4096·256)
+        B, K, N = 2, 7744, 512  # forces the large-member branch (K·N > 4096·256)
         x = jax.random.normal(key, (B, K), jnp.float32) * 0.1
         W = jax.random.normal(jax.random.fold_in(key, 1), (B, K, N), jnp.float32) * 0.1
         y = population_linear(x, W, interpret=True)

@@ -298,10 +298,11 @@ if __name__ == "__main__":
             return LargeDQN(num_actions=18, compute_dtype="bfloat16", **kw)
 
         import deep_neuroevolution_tpu.models.batchnorm  # noqa: F401
-        # B=512 at 4.05M f32 params OOMs 16 GB HBM during theta init/prepare
-        # (8.3 GB f32 stack + bf16 parts); 384 is the feasible upper point
+        # B>=384 at 4.05M f32 params OOMs 16 GB HBM during theta
+        # init/prepare (f32 stack + bf16 parts + the fused-layout transpose
+        # live together inside one jit)
         conv, dim = bench_conv_population(
-            batch_sizes=(64, 256, 384), model_factory=mk
+            batch_sizes=(64, 256), model_factory=mk
         )
         print(json.dumps({"conv_large": {str(k): v for k, v in conv.items()}, "large_dqn_params": dim}))
     elif args.only == "conv_indexed":

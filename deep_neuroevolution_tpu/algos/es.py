@@ -853,6 +853,9 @@ class ESTrainer:
         global results."""
         cfg = self.config
         s = self.state
+        # per-generation BC cloud kept for studies (the reference exposes it
+        # through the VINE dumps, es_modified.py; this is the in-memory hook)
+        self._last_bcs = np.asarray(bcs_n2)
         # obs stats (es.py:246-248 increment path)
         ob_stat = s.ob_stat
         if self.model.needs_ob_stat and ob_count > 0 and cfg.calc_obstat_prob > 0:

@@ -489,13 +489,18 @@ class NSESTrainer:
             raise NotImplementedError(cfg.selection_method)
 
         step_tend = time.time()
+        result = dict(
+            parent=p,
+            returns=returns_np,
+            lengths=lengths_np,
+            novelty=np.asarray(novelty_n2),
+            update_ratio=float(ratio),
+            # the archive point inserted this iteration (nses.py:246-247) —
+            # the per-generation BC progress marker studies plot
+            new_bc=np.asarray(new_bc),
+        )
         if not getattr(self, "_log_enabled", True):
-            return dict(
-                parent=p,
-                returns=returns_np,
-                novelty=np.asarray(novelty_n2),
-                update_ratio=float(ratio),
-            )
+            return result
         tlogger.record_tabular("ParentId", p)
         tlogger.record_tabular("EpRewMean", returns_np.mean())
         tlogger.record_tabular("EpRewStd", returns_np.std())
@@ -514,12 +519,7 @@ class NSESTrainer:
         tlogger.record_tabular("TimeElapsed", step_tend - self._tstart)
         tlogger.dump_tabular()
 
-        return dict(
-            parent=p,
-            returns=returns_np,
-            novelty=np.asarray(novelty_n2),
-            update_ratio=float(ratio),
-        )
+        return result
 
     def train(self, iterations: int):
         for _ in range(iterations):

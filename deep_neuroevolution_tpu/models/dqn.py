@@ -22,6 +22,7 @@ from __future__ import annotations
 import dataclasses
 from typing import Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 
 from ..ops.flat import ParamSpec
@@ -170,7 +171,14 @@ class SmallDQN(Model):
 
 @dataclasses.dataclass(frozen=True)
 class LargeDQN(SmallDQN):
-    """conv32(8,4) → conv64(4,2) → conv64(3,1) → fc512 → out (dqn.py:43-47)."""
+    """conv32(8,4) → conv64(4,2) → conv64(3,1) → fc512 → out (dqn.py:43-47).
+
+    Population forward: `forward_impl='auto'` routes to the whole-net fused
+    Pallas kernel on TPU (ops/pallas_fused_dqn.py large_dqn_fused_scores) —
+    one grid step per member, conv + fc + out computed while the next
+    member's ~8.4 MB weight stream DMAs in. The split route (conv einsum +
+    XLA fc) executes those phases sequentially and measured 17.4 us/member
+    vs the ~10.5 us DMA floor (results/profile_stages_r04_large.json)."""
 
     LAYERS: Tuple[Tuple[str, int, int, int], ...] = (
         ("conv1", 32, 8, 4),
@@ -178,6 +186,82 @@ class LargeDQN(SmallDQN):
         ("conv3", 64, 3, 1),
     )
     FC: int = 512
+    forward_impl: str = "auto"  # 'auto' | 'fused' | 'split'
+
+    def _whole_fused_eligible(self) -> bool:
+        return (
+            self.in_hw == 84 and self.in_ch == 4 and self.nonlin_type == "relu"
+            and self.LAYERS == (("conv1", 32, 8, 4), ("conv2", 64, 4, 2),
+                                ("conv3", 64, 3, 1))
+            and self.FC == 512 and 0 < self.num_actions <= 64
+        )
+
+    def _use_whole_fused(self) -> bool:
+        if self.forward_impl == "fused":
+            assert self._whole_fused_eligible(), "fused kernel needs the LargeDQN topology"
+            return True
+        if self.forward_impl == "split":
+            return False
+        from .core import _on_tpu
+
+        return self._whole_fused_eligible() and _on_tpu()
+
+    def fuse_prepare(self, parts) -> dict:
+        """Per-rollout kernel-layout build (hoisted by prepare_batch_params):
+        bf16 weight matrices in the kernel's contraction orders; the fc rows
+        re-ordered channel-major (wf[b,c,p,:] = fc/w[b, p·64+c, :] — the
+        NHWC flatten index is p·64+c) so the kernel's per-channel FMA
+        accumulation reads contiguous [121, 512] planes."""
+        from ..ops import pallas_fused_dqn as fk
+
+        B = parts["conv1/w"].shape[0]
+        bf = jnp.bfloat16
+        f32 = jnp.float32
+        wf = parts["fc/w"].reshape(B, fk.P2, fk.LG_C3, fk.LG_FC)
+        nout = self.num_actions
+        wo = jnp.pad(parts["out/w"].astype(bf), ((0, 0), (0, 0), (0, fk.NOUT - nout)))
+        bo = jnp.pad(parts["out/b"].astype(f32), ((0, 0), (0, fk.NOUT - nout)),
+                     constant_values=-1e9)[:, None, :]
+        return {
+            "w1": parts["conv1/w"].reshape(B, 256, fk.LG_C1).astype(bf),
+            "b1": parts["conv1/b"][:, None, :].astype(f32),
+            "w2": parts["conv2/w"].reshape(B, 16 * fk.LG_C1, fk.LG_C2).astype(bf),
+            "b2": parts["conv2/b"][:, None, :].astype(f32),
+            "w3": parts["conv3/w"].reshape(B, 9 * fk.LG_C2, fk.LG_C3).astype(bf),
+            "b3": parts["conv3/b"][:, None, :].astype(f32),
+            "wf": wf.transpose(0, 2, 1, 3).astype(bf),
+            "bf": parts["fc/b"][:, None, :].astype(f32),
+            "wo": wo, "bo": bo,
+        }
+
+    def prepare_batch_params(self, params):
+        if not (isinstance(params, tuple) and len(params) == 2):
+            return params
+        thetas, ctx = params
+        if thetas is not None and not isinstance(thetas, dict):
+            parts = self.prepare_parts(jax.vmap(self.unflatten)(thetas))
+            if self._use_whole_fused():
+                return ({"__fused_lg__": self.fuse_prepare(parts)}, ctx)
+            return (parts, ctx)
+        return (thetas, ctx)
+
+    def batch_scores_fused(self, fused_ops: dict, obs, interpret: bool = False):
+        from ..ops import pallas_fused_dqn as fk
+        from .core import extract_patches
+
+        B = obs.shape[0]
+        patches1 = extract_patches(obs.astype(jnp.bfloat16), 8, 4, "SAME")
+        ops = dict(fused_ops, patches1=patches1.reshape(B, fk.P1, 256))
+        return fk.large_dqn_fused_scores(ops, interpret=interpret)
+
+    def batch_act_parts(self, parts, obs, keys, ctx=None):
+        if isinstance(parts, dict) and "__fused_lg__" in parts:
+            return jnp.argmax(
+                self.batch_scores_fused(parts["__fused_lg__"], obs,
+                                        interpret=self.fused_interpret),
+                axis=-1,
+            )
+        return super().batch_act_parts(parts, obs, keys, ctx)
 
 
 @dataclasses.dataclass(frozen=True)

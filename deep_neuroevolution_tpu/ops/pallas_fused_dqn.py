@@ -100,6 +100,144 @@ def _spec(*shape):
 
 
 # ---------------------------------------------------------------------------
+# Whole-net LargeDQN kernel: convs + fc + out in ONE grid step per member.
+#
+# The r4 profile chain: split-path fc (XLA einsum) 10.7 us + conv einsum ~5 us
+# execute SEQUENTIALLY on the single v5e core — nothing overlaps across XLA
+# ops. Fusing the whole member into one kernel hides the conv/fc COMPUTE
+# (~9 us) under the member's ~8.4 MB weight-DMA stream (~10.5 us at HBM
+# roof): Mosaic prefetches member i+1's weights while member i computes.
+#
+# The blocker for any fused DQN head is the conv→fc flatten ([121, 64] →
+# [1, 7744] is a lane-merge relayout Mosaic rejects, and its matmul op
+# supports neither 2-D-contracting nor batched dot_general — both verified
+# on v5e). The fc is therefore computed WITHOUT flattening:
+#     z[p, n]  = Σ_c x3[p, c] · Wf[c, p, n]     (64 VPU lane-broadcast FMAs
+#                                                over a channel-major weight
+#                                                layout built at prepare)
+#     fc[n]    = Σ_p z[p, n]                    (one [1,121]·[121,512] GEMM
+#                                                against a ones row)
+# which is exactly y = x3_flat @ wf with the sum re-associated (f32 accum).
+# ---------------------------------------------------------------------------
+
+LG_C1, LG_C2, LG_C3, LG_FC = 32, 64, 64, 512
+
+
+def _large_fused_kernel(p1_ref, w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref,
+                        wf_ref, bf_ref, wo_ref, bo_ref, out_ref,
+                        pad2_ref, pad3_ref, *, fc_mode: str = "fma"):
+    # conv1 k8 s4: [441,256]·[256,32] + bias, relu
+    h1 = jnp.dot(p1_ref[0], w1_ref[0], preferred_element_type=jnp.float32)
+    x1 = jnp.maximum(h1 + b1_ref[0], 0.0)  # [441, 32]
+
+    # conv2 k4 s2 SAME (21→11): zero-padded stride-2 view, K-split GEMMs
+    pad2_ref[...] = jnp.zeros((HPAD2, HPAD2, LG_C1), jnp.float32)
+    pad2_ref[1 : 1 + H1, 1 : 1 + H1, :] = x1.reshape(H1, H1, LG_C1)
+    xv = pad2_ref[...].reshape(HPAD2 // 2, 2, HPAD2 // 2, 2, LG_C1)
+    h2 = jnp.zeros((P2, LG_C2), jnp.float32)
+    for i in range(K2):
+        qi, ri = divmod(i, 2)
+        for j in range(K2):
+            qj, rj = divmod(j, 2)
+            sl = xv[qi : qi + H2, ri, qj : qj + H2, rj, :]
+            patch = sl.reshape(P2, LG_C1).astype(w2_ref.dtype)
+            k = i * K2 + j
+            h2 = h2 + jnp.dot(
+                patch, w2_ref[0, k * LG_C1 : (k + 1) * LG_C1, :],
+                preferred_element_type=jnp.float32,
+            )
+    x2 = jnp.maximum(h2 + b2_ref[0], 0.0)  # [121, 64]
+
+    # conv3 k3 s1 SAME: 9 static-offset slices of the padded grid
+    pad3_ref[...] = jnp.zeros((HPAD3, HPAD3, LG_C2), jnp.float32)
+    pad3_ref[1 : 1 + H2, 1 : 1 + H2, :] = x2.reshape(H2, H2, LG_C2)
+    h3 = jnp.zeros((P2, LG_C3), jnp.float32)
+    for i in range(3):
+        for j in range(3):
+            sl = pad3_ref[i : i + H2, j : j + H2, :]
+            patch = sl.reshape(P2, LG_C2).astype(w3_ref.dtype)
+            k = i * 3 + j
+            h3 = h3 + jnp.dot(
+                patch, w3_ref[0, k * LG_C2 : (k + 1) * LG_C2, :],
+                preferred_element_type=jnp.float32,
+            )
+    x3 = jnp.maximum(h3 + b3_ref[0], 0.0)  # [121, 64]
+
+    # fc without the flatten (see module comment). Variants raced on v5e:
+    if fc_mode == "fma":
+        # channel-major VPU FMA accumulation then p-reduce
+        z = jnp.zeros((P2, LG_FC), jnp.float32)
+        for c in range(LG_C3):
+            z = z + x3[:, c : c + 1] * wf_ref[0, c].astype(jnp.float32)
+        ones = jnp.ones((1, P2), jnp.float32)
+        h4 = jnp.dot(ones, z, preferred_element_type=jnp.float32) + bf_ref[0]
+    elif fc_mode == "mxu_t":
+        # transpose x3 once, then 64 M=1 MXU mat-vecs [1,121]·[121,512]
+        x3t = x3.T.astype(wf_ref.dtype)  # [64, 121]
+        h4 = jnp.zeros((1, LG_FC), jnp.float32)
+        for c in range(LG_C3):
+            h4 = h4 + jnp.dot(
+                x3t[c : c + 1, :], wf_ref[0, c],
+                preferred_element_type=jnp.float32,
+            )
+        h4 = h4 + bf_ref[0]
+    else:
+        raise ValueError(fc_mode)
+    x4 = jnp.maximum(h4, 0.0)  # [1, 512]
+
+    # out layer (padded lanes carry -1e9 bias so argmax never picks them)
+    out_ref[0] = jnp.dot(
+        x4.astype(wo_ref.dtype), wo_ref[0], preferred_element_type=jnp.float32
+    ) + bo_ref[0]
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "fc_mode"))
+def large_dqn_fused_scores(ops: dict, interpret: bool = False,
+                           fc_mode: str = "fma") -> jax.Array:
+    """ops: the LargeDQN `fuse_prepare` layout (+ per-step patches1) →
+    padded scores [B, 64] f32. Layout contract:
+      patches1 [B, 441, 256] bf16   im2col of the obs, k8 s4 SAME
+      w1 [B, 256, 32], w2 [B, 512, 64], w3 [B, 576, 64] bf16 ((i,j,c) rows)
+      wf [B, 64, 121, 512] bf16     fc rows re-ordered CHANNEL-major:
+                                    wf[b, c, p, :] = fc/w[b, p·64+c, :]
+      b1/b2/b3 [B, 1, C] f32, bf [B, 1, 512] f32
+      wo [B, 512, 64] bf16 (lanes padded), bo [B, 1, 64] f32 (pad = -1e9)
+    """
+    B = ops["patches1"].shape[0]
+    return pl.pallas_call(
+        functools.partial(_large_fused_kernel, fc_mode=fc_mode),
+        grid=(B,),
+        in_specs=[
+            _spec(P1, 256),
+            _spec(256, LG_C1), _spec(1, LG_C1),
+            _spec(16 * LG_C1, LG_C2), _spec(1, LG_C2),
+            _spec(9 * LG_C2, LG_C3), _spec(1, LG_C3),
+            _spec(LG_C3, P2, LG_FC), _spec(1, LG_FC),
+            _spec(LG_FC, NOUT), _spec(1, NOUT),
+        ],
+        out_specs=_spec(1, NOUT),
+        out_shape=jax.ShapeDtypeStruct((B, 1, NOUT), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((HPAD2, HPAD2, LG_C1), jnp.float32),
+            pltpu.VMEM((HPAD3, HPAD3, LG_C2), jnp.float32),
+        ],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 2**20),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * (P1 * 256 * LG_C1 + P2 * 512 * LG_C2 + P2 * 576 * LG_C3
+                           + P2 * LG_C3 * LG_FC + LG_FC * NOUT),
+            bytes_accessed=B * (P1 * 256 * 2 + (256 * LG_C1 + 512 * LG_C2
+                                + 576 * LG_C3 + LG_C3 * P2 * LG_FC) * 2
+                                + LG_FC * NOUT * 2),
+            transcendentals=0,
+        ),
+    )(
+        ops["patches1"], ops["w1"], ops["b1"], ops["w2"], ops["b2"],
+        ops["w3"], ops["b3"], ops["wf"], ops["bf"], ops["wo"], ops["bo"],
+    )[:, 0, :]
+
+
+# ---------------------------------------------------------------------------
 # Plain-bias conv-chain kernel (GA models: SmallDQN / LargeDQN, dqn.py:30-47)
 #
 # The r4 LargeDQN stage profile (results/profile_stages_r04_large.json)

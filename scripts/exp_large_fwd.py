@@ -183,7 +183,7 @@ def main(B, only):
     out = {}
 
     def want(name):
-        return only in (None, name)
+        return only is None or name in only.split(",")
 
     K, N = 7744, 512
     x = jax.random.normal(key, (B, K), jnp.float32).astype(jnp.bfloat16)
@@ -259,6 +259,30 @@ def main(B, only):
                                          ops["b1"], ops["w2"], ops["b2"])
                 return jnp.sum(y)
             out["conv_fused_kernel"] = marginal(cfk_step, kargs)
+
+    fused_modes = [m for m in ("fused_fma", "fused_mxut") if want(m)]
+    if fused_modes:
+        from deep_neuroevolution_tpu.models import LargeDQN as _LD
+        from deep_neuroevolution_tpu.models.core import extract_patches
+        from deep_neuroevolution_tpu.ops.pallas_fused_dqn import large_dqn_fused_scores
+
+        mlarge = _LD(num_actions=18, compute_dtype="bfloat16")
+        fops = mlarge.fuse_prepare(parts)
+        pat = extract_patches(obs.astype(jnp.bfloat16), 8, 4, "SAME")
+        fops = dict(fops, patches1=pat.reshape(B, -1, pat.shape[-1]))
+        for name in fused_modes:
+            mode = {"fused_fma": "fma", "fused_mxut": "mxu_t"}[name]
+            def fstep(ops, t, _m=mode):
+                o = dict(ops)
+                o["patches1"] = ops["patches1"] * (1 + 1e-6 * t.astype(jnp.bfloat16))
+                s = large_dqn_fused_scores(o, fc_mode=_m)
+                return jnp.sum(s)
+            try:
+                out[name] = marginal(fstep, fops)
+            except Exception as e:
+                print(f"  {name}: FAILED {type(e).__name__}: {str(e)[:300]}",
+                      file=sys.stderr, flush=True)
+                out[name] = None
 
     if want("conv_equiv"):  # on-chip equivalence of the two conv routes
         a = conv_chain_nhwc(parts, obs.astype(jnp.bfloat16))

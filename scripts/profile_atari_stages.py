@@ -90,7 +90,7 @@ def main_large(B=256, only=None):
     out = {}
 
     def want(name):
-        return only in (None, name)
+        return only is None or name in only.split(",")
 
     model = LargeDQN(num_actions=18, compute_dtype="bfloat16")
     thetas = jax.vmap(model.init_theta)(jax.random.split(key, B))
@@ -108,14 +108,17 @@ def main_large(B=256, only=None):
     for name, (wname, x, stride) in convs.items():
         if want(name):
             def cstep(ops, t, _s=stride):
-                xx = jnp.tanh(ops["x"] + t.astype(ops["x"].dtype))  # non-hoistable
+                # additive perturb: conv is not distributed over + by XLA's
+                # simplifier, and tanh on the [B,210,...]-scale input
+                # measurably inflated the first r4 readings
+                xx = ops["x"] + t.astype(ops["x"].dtype)
                 y = batch_conv2d(ops["w"], xx, stride=_s)
                 return jnp.sum(y)
             out[name] = marginal(cstep, {"w": parts[wname], "x": x})
 
     if want("lg_convchain"):
         def chain_step(ops, t):
-            x = jnp.tanh(ops["obs"] + t.astype(jnp.float32)).astype(jnp.bfloat16)
+            x = (ops["obs"] + 1e-6 * t.astype(jnp.float32)).astype(jnp.bfloat16)
             h = x
             for nm, s in (("conv1/w", 4), ("conv2/w", 2), ("conv3/w", 1)):
                 h = jax.nn.relu(batch_conv2d(ops[nm], h, stride=s)).astype(jnp.bfloat16)
@@ -142,10 +145,24 @@ def main_large(B=256, only=None):
     if want("lg_forward"):
         keys = jax.random.split(key, B)
         def fwd_step(ops, t):
-            o = jnp.tanh(ops["obs"] + t.astype(jnp.float32))
+            o = ops["obs"] + 1e-6 * t.astype(jnp.float32)
             a = model.batch_act_parts(ops["parts"], o, ops["keys"], None)
             return jnp.float32(jnp.sum(a))
         out["lg_forward"] = marginal(fwd_step, {"obs": obs, "parts": parts, "keys": keys})
+
+    if want("lg_forward_fused"):
+        from deep_neuroevolution_tpu.models import LargeDQN as _LD
+
+        mf = _LD(num_actions=18, compute_dtype="bfloat16", forward_impl="fused")
+        fparts, _ = mf.prepare_batch_params(
+            (jax.vmap(mf.init_theta)(jax.random.split(key, B)), None))
+        keys = jax.random.split(key, B)
+        def ffwd_step(ops, t):
+            o = ops["obs"] + 1e-6 * t.astype(jnp.float32)
+            a = mf.batch_act_parts(ops["parts"], o, ops["keys"], None)
+            return jnp.float32(jnp.sum(a))
+        out["lg_forward_fused"] = marginal(
+            ffwd_step, {"obs": obs, "parts": fparts, "keys": keys})
 
     for k, v in out.items():
         print(f"{k:16s} {v * 1e3:8.3f} ms/step  {v / B * 1e6:8.2f} us/member "
@@ -160,7 +177,7 @@ def main(B=256, only=None):
     out = {}
 
     def want(name):
-        return only in (None, name)
+        return only is None or name in only.split(",")
 
     if want("rng_frames"):
         def rng_step(ops, t):

@@ -349,6 +349,33 @@ class TestFusedVBNDQN:
             np.testing.assert_array_equal(
                 np.argmax(s_split, axis=1), np.argmax(s_fused, axis=1))
 
+    def test_large_dqn_whole_fused_matches_split(self):
+        """large_dqn_fused_scores (whole net per grid step incl. the
+        flatten-free channel-major fc accumulation) must pick the same
+        actions as the split route, scores within bf16 tolerance."""
+        from deep_neuroevolution_tpu.models import LargeDQN
+
+        m_split = LargeDQN(num_actions=18, compute_dtype="bfloat16",
+                           forward_impl="split", conv_impl="einsum")
+        m_fused = LargeDQN(num_actions=18, compute_dtype="bfloat16",
+                           forward_impl="fused", fused_interpret=True)
+        B = 2
+        key = jax.random.PRNGKey(3)
+        thetas = jax.vmap(m_split.init_theta)(jax.random.split(key, B))
+        parts, _ = m_split.prepare_batch_params((thetas, None))
+        fused_parts, _ = m_fused.prepare_batch_params((thetas, None))
+        assert "__fused_lg__" in fused_parts
+        obs = jax.random.uniform(jax.random.fold_in(key, 1), (B, 84, 84, 4))
+        s_split = np.asarray(m_split.batch_scores_parts(parts, obs))
+        s_fused = np.asarray(m_fused.batch_scores_fused(
+            fused_parts["__fused_lg__"], obs, interpret=True))[:, :18]
+        np.testing.assert_allclose(s_fused, s_split, atol=0.05, rtol=0.05)
+        np.testing.assert_array_equal(
+            np.argmax(s_split, axis=1), np.argmax(s_fused, axis=1))
+        # the act path routes through the fused kernel
+        a = np.asarray(m_fused.batch_act_parts(fused_parts, obs, None))
+        np.testing.assert_array_equal(a, np.argmax(s_split, axis=1))
+
     def test_population_linear_large_members_route_to_xla(self):
         """Members past the VMEM double-buffer budget (LargeDQN fc scale)
         route to the XLA batched einsum (the r3 K-tiled Pallas kernel ran at

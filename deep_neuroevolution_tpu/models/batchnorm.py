@@ -58,13 +58,17 @@ class VirtualBNDQN(Model):
     # fc-layer batched mat-vec backend (core.py pop_matvec): 'auto' = Pallas
     # member-pipelined kernel on TPU, batched einsum elsewhere
     matvec_impl: str = "auto"
-    # whole-forward backend: 'split' = batch-explicit XLA GEMMs +
-    # pop_matvec fc (the measured winner: 5.94 µs/member bf16 at B=256 on
-    # v5e); 'fused' = two Pallas kernels per member (ops/pallas_fused_dqn.py
-    # — measured 6.53 µs/member: the conv patches' HBM round-trip and the
-    # concat-free 16-GEMM conv2 outweigh the fusion gain on this topology;
-    # kept for future Mosaic versions with lane-merge reshape support);
-    # 'auto' = split
+    # whole-forward backend:
+    #   'split'  = batch-explicit XLA GEMMs + pop_matvec fc (5.94 µs/member
+    #              bf16 at B=256 on v5e, r3);
+    #   'fused'  = two Pallas kernels per member (6.53 µs/member r3: the
+    #              conv patches' HBM round-trip and the 16-GEMM conv2
+    #              outweighed the fusion gain);
+    #   'fused1' = ONE kernel per member (r4): scratch-assembled conv2
+    #              im2col + the flatten-free channel-major fc accumulation
+    #              (see large_dqn_fused_scores) — floor = the ~2.2 MB weight
+    #              DMA ≈ 2.8 µs/member;
+    #   'auto'   = fused1 on TPU (r4 measured winner), split elsewhere
     forward_impl: str = "auto"
 
     LAYERS: Tuple[Tuple[str, int, int, int], ...] = (("conv1", 16, 8, 4), ("conv2", 32, 4, 2))
@@ -212,12 +216,21 @@ class VirtualBNDQN(Model):
         )
 
     def _use_fused(self) -> bool:
-        if self.forward_impl == "fused":
+        """Which fused variant (if any) the batch path uses; returns one of
+        False | 'fused' | 'fused1'."""
+        if self.forward_impl in ("fused", "fused1"):
             assert self._fused_eligible(), "fused kernel needs the default topology"
-            return True
-        return False  # 'auto' = split: measured faster than fused (r3, v5e)
+            return self.forward_impl
+        if self.forward_impl == "auto" and self._fused_eligible():
+            from .core import _on_tpu
 
-    def fuse_prepare(self, parts, stats: VBNStats) -> dict:
+            # r4: the single-kernel variant beats split on TPU
+            # (results/profile_stages_r04.json act_fused1 vs act_new_bf16)
+            if _on_tpu():
+                return "fused1"
+        return False
+
+    def fuse_prepare(self, parts, stats: VBNStats, style: str = "two") -> dict:
         """Per-rollout layout build for ops/pallas_fused_dqn.py: bf16 weight
         matrices in the kernel's contraction orders + the VBN normalization
         folded into per-layer scale/shift (y = x̂·a + c, a = inv_σ·(1+γ),
@@ -244,26 +257,39 @@ class VirtualBNDQN(Model):
             parts["out/b"].astype(jnp.float32), ((0, 0), (0, fk.NOUT - nout)),
             constant_values=-1e9,
         )[:, None, :]
-        return {
+        ops = {
             "w1": parts["conv1/w"].reshape(B, 8 * 8 * 4, 16).astype(bf),
             "a1": a1, "c1": c1,
             "w2": parts["conv2/w"].reshape(B, 4 * 4 * 16, 32).astype(bf),
             "a2": a2, "c2": c2,
-            "wf": parts["fc/w"].astype(bf),
             "a3": a3, "c3": c3,
             "wo": wo, "bo": bo,
         }
+        if style == "one":
+            # single-kernel layout: fc rows re-ordered channel-major so the
+            # kernel's per-channel FMA reads contiguous [121, 256] planes
+            # (NHWC flatten index = p·32 + c)
+            ops["wf_cm"] = (
+                parts["fc/w"].reshape(B, fk.P2, fk.C2, fk.FC)
+                .transpose(0, 2, 1, 3).astype(bf)
+            )
+        else:
+            ops["wf"] = parts["fc/w"].astype(bf)
+        return ops
 
     def batch_scores_fused(self, fused_ops: dict, obs, interpret: bool = False):
         """[B, 84, 84, 4] obs → padded scores [B, 64] through the fused
-        kernel. conv1's im2col runs here in XLA (member-independent data
-        movement); everything per-member-weighted runs in-kernel."""
+        kernel(s). conv1's im2col runs here in XLA (member-independent data
+        movement); everything per-member-weighted runs in-kernel. Dispatch:
+        a 'wf_cm' entry marks the single-kernel layout (fused1)."""
         from ..ops import pallas_fused_dqn as fk
         from .core import extract_patches
 
         B = obs.shape[0]
         patches1 = extract_patches(obs.astype(jnp.bfloat16), 8, 4, "SAME")
         ops = dict(fused_ops, patches1=patches1.reshape(B, fk.P1, fk.KK1))
+        if "wf_cm" in fused_ops:
+            return fk.vbn_dqn_fused1_scores(ops, interpret=interpret)
         return fk.vbn_dqn_fused_scores(ops, interpret=interpret)
 
     def make_batch_act(self):
@@ -287,8 +313,10 @@ class VirtualBNDQN(Model):
         thetas, ctx = params
         if thetas is not None and not isinstance(thetas, dict):
             parts = self.prepare_parts(jax.vmap(self.unflatten)(thetas))
-            if self._use_fused() and isinstance(ctx, VBNStats):
-                return ({"__fused__": self.fuse_prepare(parts, ctx)}, ctx)
+            fused = self._use_fused()
+            if fused and isinstance(ctx, VBNStats):
+                style = "one" if fused == "fused1" else "two"
+                return ({"__fused__": self.fuse_prepare(parts, ctx, style)}, ctx)
             return (parts, ctx)
         return (thetas, ctx)
 

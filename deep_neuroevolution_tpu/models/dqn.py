@@ -119,9 +119,12 @@ class SmallDQN(Model):
             return False
         if self.conv_impl == "fused":
             return True
-        from .core import _on_tpu
-
-        return self._conv_fused_eligible() and _on_tpu()
+        # 'auto' stays on the einsum chain: the conv-chain kernel measured
+        # only ~7% faster in isolation for the 3-conv geometry (4.77 vs
+        # 5.15 us/member, results/exp_large_fwd_r04.json) — and the LargeDQN
+        # production route is the whole-net fused kernel anyway; the 2-conv
+        # SmallDQN case is unmeasured. Opt in with conv_impl='fused'.
+        return False
 
     def _fused_conv_acts(self, parts, obs) -> jnp.ndarray:
         """[B, 121, c_out] f32 conv-stack activations via the one-member-per

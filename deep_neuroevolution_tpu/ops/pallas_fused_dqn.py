@@ -100,6 +100,86 @@ def _spec(*shape):
 
 
 # ---------------------------------------------------------------------------
+# Single-kernel VBN small-DQN: the two-kernel split above pays an HBM
+# round-trip + two grid pipelines; this variant computes the WHOLE member in
+# one grid step using the same flatten-free fc trick as the LargeDQN kernel
+# below (channel-major FMA accumulation + ones-row p-reduce) and the
+# scratch-assembled conv2 im2col (one GEMM instead of 16 K-split dots).
+# Floor: the ~2.2 MB/member weight DMA ≈ 2.8 us at v5e HBM, with all conv/fc
+# compute (~2 us) hidden under it.
+# ---------------------------------------------------------------------------
+
+
+def _vbn_fused1_kernel(p1_ref, w1_ref, a1_ref, c1_ref, w2_ref, a2_ref, c2_ref,
+                       wf_ref, a3_ref, c3_ref, wo_ref, bo_ref, out_ref,
+                       pad_ref, im2_ref):
+    # conv1 + folded VBN + relu
+    h1 = jnp.dot(p1_ref[0], w1_ref[0], preferred_element_type=jnp.float32)
+    x1 = jnp.maximum(h1 * a1_ref[0] + c1_ref[0], 0.0)  # [441, 16]
+
+    # conv2 k4 s2 (21→11): scratch-assembled im2col, one GEMM
+    pad_ref[...] = jnp.zeros((H1 + 3, H1 + 3, C1), jnp.float32)
+    pad_ref[1 : 1 + H1, 1 : 1 + H1, :] = x1.reshape(H1, H1, C1)
+    xv = pad_ref[...].reshape(12, 2, 12, 2, C1)
+    for i in range(K2):
+        qi, ri = divmod(i, 2)
+        for j in range(K2):
+            qj, rj = divmod(j, 2)
+            sl = xv[qi : qi + H2, ri, qj : qj + H2, rj, :]
+            k = i * K2 + j
+            im2_ref[:, k * C1 : (k + 1) * C1] = sl.reshape(P2, C1)
+    h2 = jnp.dot(im2_ref[...].astype(w2_ref.dtype), w2_ref[0],
+                 preferred_element_type=jnp.float32)
+    x2 = jnp.maximum(h2 * a2_ref[0] + c2_ref[0], 0.0)  # [121, 32]
+
+    # fc without the flatten: channel-major FMA + ones-row p-reduce
+    z = jnp.zeros((P2, FC), jnp.float32)
+    for c in range(C2):
+        z = z + x2[:, c : c + 1] * wf_ref[0, c].astype(jnp.float32)
+    ones = jnp.ones((1, P2), jnp.float32)
+    h3 = jnp.dot(ones, z, preferred_element_type=jnp.float32)
+    x3 = jnp.maximum(h3 * a3_ref[0] + c3_ref[0], 0.0)  # [1, 256]
+
+    out_ref[0] = jnp.dot(x3, wo_ref[0], preferred_element_type=jnp.float32) + bo_ref[0]
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def vbn_dqn_fused1_scores(ops: dict, interpret: bool = False) -> jax.Array:
+    """Single-kernel VBN-DQN forward. Layout = `fuse_prepare` plus
+    `wf_cm` [B, 32, 121, 256]: fc rows re-ordered channel-major
+    (wf_cm[b, c, p, :] = fc/w[b, p·32+c, :] — NHWC flatten index p·32+c)."""
+    B = ops["patches1"].shape[0]
+    return pl.pallas_call(
+        _vbn_fused1_kernel,
+        grid=(B,),
+        in_specs=[
+            _spec(P1, KK1),
+            _spec(KK1, C1), _spec(1, C1), _spec(1, C1),
+            _spec(KK2, C2), _spec(1, C2), _spec(1, C2),
+            _spec(C2, P2, FC), _spec(1, FC), _spec(1, FC),
+            _spec(FC, NOUT), _spec(1, NOUT),
+        ],
+        out_specs=_spec(1, NOUT),
+        out_shape=jax.ShapeDtypeStruct((B, 1, NOUT), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((H1 + 3, H1 + 3, C1), jnp.float32),
+            pltpu.VMEM((P2, KK2), jnp.float32),
+        ],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 2**20),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * (P1 * KK1 * C1 + P2 * KK2 * C2 + P2 * C2 * FC + FC * NOUT),
+            bytes_accessed=B * (P1 * KK1 * 2 + (KK1 * C1 + KK2 * C2
+                                + C2 * P2 * FC) * 2 + FC * NOUT * 4),
+            transcendentals=0,
+        ),
+    )(
+        ops["patches1"], ops["w1"], ops["a1"], ops["c1"], ops["w2"], ops["a2"],
+        ops["c2"], ops["wf_cm"], ops["a3"], ops["c3"], ops["wo"], ops["bo"],
+    )[:, 0, :]
+
+
+# ---------------------------------------------------------------------------
 # Whole-net LargeDQN kernel: convs + fc + out in ONE grid step per member.
 #
 # The r4 profile chain: split-path fc (XLA einsum) 10.7 us + conv einsum ~5 us
@@ -125,42 +205,65 @@ LG_C1, LG_C2, LG_C3, LG_FC = 32, 64, 64, 512
 
 def _large_fused_kernel(p1_ref, w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref,
                         wf_ref, bf_ref, wo_ref, bo_ref, out_ref,
-                        pad2_ref, pad3_ref, *, fc_mode: str = "fma"):
+                        pad2_ref, pad3_ref, im2_ref, im3_ref, *,
+                        fc_mode: str = "fma", conv_mode: str = "ksplit"):
     # conv1 k8 s4: [441,256]·[256,32] + bias, relu
     h1 = jnp.dot(p1_ref[0], w1_ref[0], preferred_element_type=jnp.float32)
     x1 = jnp.maximum(h1 + b1_ref[0], 0.0)  # [441, 32]
 
-    # conv2 k4 s2 SAME (21→11): zero-padded stride-2 view, K-split GEMMs
+    # conv2 k4 s2 SAME (21→11): zero-padded stride-2 view
     pad2_ref[...] = jnp.zeros((HPAD2, HPAD2, LG_C1), jnp.float32)
     pad2_ref[1 : 1 + H1, 1 : 1 + H1, :] = x1.reshape(H1, H1, LG_C1)
     xv = pad2_ref[...].reshape(HPAD2 // 2, 2, HPAD2 // 2, 2, LG_C1)
-    h2 = jnp.zeros((P2, LG_C2), jnp.float32)
-    for i in range(K2):
-        qi, ri = divmod(i, 2)
-        for j in range(K2):
-            qj, rj = divmod(j, 2)
-            sl = xv[qi : qi + H2, ri, qj : qj + H2, rj, :]
-            patch = sl.reshape(P2, LG_C1).astype(w2_ref.dtype)
-            k = i * K2 + j
-            h2 = h2 + jnp.dot(
-                patch, w2_ref[0, k * LG_C1 : (k + 1) * LG_C1, :],
-                preferred_element_type=jnp.float32,
-            )
+    if conv_mode == "scratch":
+        # assemble the [121, 512] im2col matrix in VMEM scratch by column
+        # blocks, then ONE MXU GEMM — 16 small dots become 16 stores + 1 dot
+        for i in range(K2):
+            qi, ri = divmod(i, 2)
+            for j in range(K2):
+                qj, rj = divmod(j, 2)
+                sl = xv[qi : qi + H2, ri, qj : qj + H2, rj, :]
+                k = i * K2 + j
+                im2_ref[:, k * LG_C1 : (k + 1) * LG_C1] = sl.reshape(P2, LG_C1)
+        h2 = jnp.dot(im2_ref[...].astype(w2_ref.dtype), w2_ref[0],
+                     preferred_element_type=jnp.float32)
+    else:
+        h2 = jnp.zeros((P2, LG_C2), jnp.float32)
+        for i in range(K2):
+            qi, ri = divmod(i, 2)
+            for j in range(K2):
+                qj, rj = divmod(j, 2)
+                sl = xv[qi : qi + H2, ri, qj : qj + H2, rj, :]
+                patch = sl.reshape(P2, LG_C1).astype(w2_ref.dtype)
+                k = i * K2 + j
+                h2 = h2 + jnp.dot(
+                    patch, w2_ref[0, k * LG_C1 : (k + 1) * LG_C1, :],
+                    preferred_element_type=jnp.float32,
+                )
     x2 = jnp.maximum(h2 + b2_ref[0], 0.0)  # [121, 64]
 
     # conv3 k3 s1 SAME: 9 static-offset slices of the padded grid
     pad3_ref[...] = jnp.zeros((HPAD3, HPAD3, LG_C2), jnp.float32)
     pad3_ref[1 : 1 + H2, 1 : 1 + H2, :] = x2.reshape(H2, H2, LG_C2)
-    h3 = jnp.zeros((P2, LG_C3), jnp.float32)
-    for i in range(3):
-        for j in range(3):
-            sl = pad3_ref[i : i + H2, j : j + H2, :]
-            patch = sl.reshape(P2, LG_C2).astype(w3_ref.dtype)
-            k = i * 3 + j
-            h3 = h3 + jnp.dot(
-                patch, w3_ref[0, k * LG_C2 : (k + 1) * LG_C2, :],
-                preferred_element_type=jnp.float32,
-            )
+    if conv_mode == "scratch":
+        for i in range(3):
+            for j in range(3):
+                sl = pad3_ref[i : i + H2, j : j + H2, :]
+                k = i * 3 + j
+                im3_ref[:, k * LG_C2 : (k + 1) * LG_C2] = sl.reshape(P2, LG_C2)
+        h3 = jnp.dot(im3_ref[...].astype(w3_ref.dtype), w3_ref[0],
+                     preferred_element_type=jnp.float32)
+    else:
+        h3 = jnp.zeros((P2, LG_C3), jnp.float32)
+        for i in range(3):
+            for j in range(3):
+                sl = pad3_ref[i : i + H2, j : j + H2, :]
+                patch = sl.reshape(P2, LG_C2).astype(w3_ref.dtype)
+                k = i * 3 + j
+                h3 = h3 + jnp.dot(
+                    patch, w3_ref[0, k * LG_C2 : (k + 1) * LG_C2, :],
+                    preferred_element_type=jnp.float32,
+                )
     x3 = jnp.maximum(h3 + b3_ref[0], 0.0)  # [121, 64]
 
     # fc without the flatten (see module comment). Variants raced on v5e:
@@ -191,9 +294,14 @@ def _large_fused_kernel(p1_ref, w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref,
     ) + bo_ref[0]
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "fc_mode"))
+@functools.partial(jax.jit, static_argnames=("interpret", "fc_mode", "conv_mode"))
 def large_dqn_fused_scores(ops: dict, interpret: bool = False,
-                           fc_mode: str = "fma") -> jax.Array:
+                           fc_mode: str = "fma",
+                           conv_mode: str = "scratch") -> jax.Array:
+    # defaults = the r4 on-chip race winners (results/exp_large_fwd_r04.json):
+    #   fc 'fma' 12.71 vs 'mxu_t' 15.40 us/member (64 M=1 MXU dots lose to
+    #   the VPU FMA accumulation); conv 'scratch' 11.76 vs 'ksplit' 12.71
+    #   (scratch-assembled im2col + one GEMM per layer beats 25 small dots)
     """ops: the LargeDQN `fuse_prepare` layout (+ per-step patches1) →
     padded scores [B, 64] f32. Layout contract:
       patches1 [B, 441, 256] bf16   im2col of the obs, k8 s4 SAME
@@ -205,7 +313,8 @@ def large_dqn_fused_scores(ops: dict, interpret: bool = False,
     """
     B = ops["patches1"].shape[0]
     return pl.pallas_call(
-        functools.partial(_large_fused_kernel, fc_mode=fc_mode),
+        functools.partial(_large_fused_kernel, fc_mode=fc_mode,
+                          conv_mode=conv_mode),
         grid=(B,),
         in_specs=[
             _spec(P1, 256),
@@ -220,6 +329,8 @@ def large_dqn_fused_scores(ops: dict, interpret: bool = False,
         scratch_shapes=[
             pltpu.VMEM((HPAD2, HPAD2, LG_C1), jnp.float32),
             pltpu.VMEM((HPAD3, HPAD3, LG_C2), jnp.float32),
+            pltpu.VMEM((P2, 16 * LG_C1), jnp.float32),  # conv2 im2col scratch
+            pltpu.VMEM((P2, 9 * LG_C2), jnp.float32),  # conv3 im2col scratch
         ],
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 2**20),

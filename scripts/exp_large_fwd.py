@@ -221,7 +221,10 @@ def main(B, only):
     # and tanh on the [B,84,84,4] input measurably inflated the r4a profile)
     from deep_neuroevolution_tpu.models import LargeDQN
 
-    model = LargeDQN(num_actions=18, compute_dtype="bfloat16")
+    # split/einsum so prepare returns RAW parts (auto would hand back the
+    # fused-kernel layout dict on TPU)
+    model = LargeDQN(num_actions=18, compute_dtype="bfloat16",
+                     forward_impl="split", conv_impl="einsum")
     thetas = jax.vmap(model.init_theta)(jax.random.split(key, B))
     parts, _ = model.prepare_batch_params((thetas, None))
     del thetas
@@ -260,7 +263,7 @@ def main(B, only):
                 return jnp.sum(y)
             out["conv_fused_kernel"] = marginal(cfk_step, kargs)
 
-    fused_modes = [m for m in ("fused_fma", "fused_mxut") if want(m)]
+    fused_modes = [m for m in ("fused_fma", "fused_mxut", "fused_scratch") if want(m)]
     if fused_modes:
         from deep_neuroevolution_tpu.models import LargeDQN as _LD
         from deep_neuroevolution_tpu.models.core import extract_patches
@@ -271,11 +274,13 @@ def main(B, only):
         pat = extract_patches(obs.astype(jnp.bfloat16), 8, 4, "SAME")
         fops = dict(fops, patches1=pat.reshape(B, -1, pat.shape[-1]))
         for name in fused_modes:
-            mode = {"fused_fma": "fma", "fused_mxut": "mxu_t"}[name]
+            mode = {"fused_fma": ("fma", "ksplit"),
+                    "fused_mxut": ("mxu_t", "ksplit"),
+                    "fused_scratch": ("fma", "scratch")}[name]
             def fstep(ops, t, _m=mode):
                 o = dict(ops)
                 o["patches1"] = ops["patches1"] * (1 + 1e-6 * t.astype(jnp.bfloat16))
-                s = large_dqn_fused_scores(o, fc_mode=_m)
+                s = large_dqn_fused_scores(o, fc_mode=_m[0], conv_mode=_m[1])
                 return jnp.sum(s)
             try:
                 out[name] = marginal(fstep, fops)

@@ -185,13 +185,20 @@ def main(B=256, only=None):
             return jnp.float32(jnp.sum(f))
         out["rng_frames"] = marginal(rng_step, {"key": key})
 
-    if want("palette") or want("preprocess"):
+    if want("palette") or want("preprocess") or want("preprocess_gray"):
         frames = jax.random.randint(key, (B, 2, 210, 160), 0, 256, jnp.int32).astype(jnp.uint8)
         if want("palette"):
             def pal_step(ops, t):
                 g = jnp.asarray(GRAYSCALE_PALETTE)[(ops["frames"] + t.astype(jnp.uint8)).astype(jnp.int32)]
                 return jnp.sum(g)
             out["palette"] = marginal(pal_step, {"frames": frames})
+        if want("preprocess_gray"):
+            from deep_neuroevolution_tpu.envs.preprocess import preprocess_gray_frames
+
+            def preg_step(ops, t):
+                o = preprocess_gray_frames(ops["frames"] + t.astype(jnp.uint8), 84, 84)
+                return jnp.sum(o)
+            out["preprocess_gray"] = marginal(preg_step, {"frames": frames})
         if want("preprocess"):
             def pre_step(ops, t):
                 o = preprocess_frames(ops["frames"] + t.astype(jnp.uint8), 84, 84)
@@ -285,6 +292,25 @@ def main(B=256, only=None):
                     a = _m.batch_act_parts(ops["parts"], o, ops["keys"], ops["st"])
                     return jnp.float32(jnp.sum(a))
                 out[name] = marginal(new_step, ops)
+
+        if want("act_fused1"):
+            m1 = VirtualBNDQN(num_actions=18, forward_impl="fused1",
+                              compute_dtype="bfloat16")
+            thetas1 = jax.vmap(m1.init_theta)(jax.random.split(key, B))
+            parts1 = m1.prepare_parts(jax.vmap(m1.unflatten)(thetas1))
+            fops1 = m1.fuse_prepare(parts1, stats, style="one")
+            split_a = np.asarray(model.batch_act_parts(
+                model.prepare_parts(jax.vmap(model.unflatten)(thetas1)),
+                obs, keys, stats))
+            f1_a = np.asarray(jnp.argmax(m1.batch_scores_fused(fops1, obs), axis=-1))
+            match = float((split_a == f1_a).mean())
+            print(f"  [fused1 vs split action match: {match:.4f}]",
+                  file=sys.stderr, flush=True)
+            def f1_step(ops, t):
+                o = ops["obs"] + 1e-6 * t.astype(jnp.float32)
+                a = jnp.argmax(m1.batch_scores_fused(ops["fops"], o), axis=-1)
+                return jnp.float32(jnp.sum(a))
+            out["act_fused1"] = marginal(f1_step, {"obs": obs, "fops": fops1})
 
         if want("act_fused"):
             mf = VirtualBNDQN(num_actions=18, forward_impl="fused")

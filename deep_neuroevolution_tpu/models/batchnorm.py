@@ -66,9 +66,15 @@ class VirtualBNDQN(Model):
     #              outweighed the fusion gain);
     #   'fused1' = ONE kernel per member (r4): scratch-assembled conv2
     #              im2col + the flatten-free channel-major fc accumulation
-    #              (see large_dqn_fused_scores) — floor = the ~2.2 MB weight
-    #              DMA ≈ 2.8 µs/member;
-    #   'auto'   = fused1 on TPU (r4 measured winner), split elsewhere
+    #              (see large_dqn_fused_scores). Measured 6.85 µs/member at
+    #              B=256 on v5e — SLOWER than split (5.92): the small net is
+    #              COMPUTE-bound (its 2.2 MB weight DMA ≈ 2.8 µs is not the
+    #              binding constraint), and XLA's member-batched GEMMs
+    #              amortize the tiny per-member conv matrices better than a
+    #              per-member kernel can (results/profile_stages_r04.json).
+    #              The same recipe wins on the LargeDQN precisely because
+    #              that net IS DMA-bound (8.4 MB/member);
+    #   'auto'   = split (the r3+r4 measured winner on TPU)
     forward_impl: str = "auto"
 
     LAYERS: Tuple[Tuple[str, int, int, int], ...] = (("conv1", 16, 8, 4), ("conv2", 32, 4, 2))
@@ -200,9 +206,68 @@ class VirtualBNDQN(Model):
         out_w = parts["out/w"].astype(jnp.float32)
         return jnp.einsum("bk,bkn->bn", x, out_w) + parts["out/b"]
 
+    def _use_folded(self) -> bool:
+        """Fold the VBN affines into the weights at prepare time
+        (fold_batch_parts). Measured a wash on v5e (5.65 vs split's 5.71
+        µs/member at B=256, actions identical — XLA already fuses the
+        normalization into the conv epilogues), so 'auto' stays split;
+        kept as an explicit impl and as evidence for the floor analysis
+        (results/profile_stages_r04.json act_folded_bf16)."""
+        return self.forward_impl == "folded"
+
+    def fold_batch_parts(self, parts, stats: VBNStats) -> dict:
+        """Fold the per-member VBN normalization INTO the weights (r4,
+        VERDICT #2 candidate): conv(x, W)·a + c == conv(x, W·a) + c with a =
+        inv_σ·γ broadcast per out-channel, c = β − µ·a — so the per-step
+        forward is plain conv/fc + bias + relu with no separate affine pass
+        (~1 µs/member of elementwise work at B=256). Exact algebra over
+        batchnorm.py:74-77's moments, fp-reassociated in the compute dtype.
+        Runs once per rollout in prepare_batch_params (after the ref-stats
+        pass), amortized over the episode's steps."""
+
+        def fold(name, i):
+            a = stats.inv_std[i]
+            if self.affine == "full":
+                a = a * (1.0 + parts[f"{name}/bn_g"])
+            c = parts[f"{name}/bn_b"] - stats.mean[i] * a
+            return a, c
+
+        folded = {"__folded__": jnp.zeros((), jnp.int32)}
+        for i, (name, _, _, _) in enumerate(self.LAYERS):
+            a, c = fold(name, i)
+            w = parts[f"{name}/w"]  # [B, k, k, ci, co]
+            folded[f"{name}/w"] = w * a[:, None, None, None, :].astype(w.dtype)
+            folded[f"{name}/b"] = c
+        a3, c3 = fold("fc", len(self.LAYERS))
+        wf = parts["fc/w"]
+        folded["fc/w"] = wf * a3[:, None, :].astype(wf.dtype)
+        folded["fc/b"] = c3
+        folded["out/w"] = parts["out/w"]
+        folded["out/b"] = parts["out/b"]
+        return folded
+
+    def batch_scores_folded(self, fparts, obs):
+        """Population forward over VBN-folded weights: the per-step graph is
+        identical in shape to the plain GA DQN's (conv+bias GEMMs +
+        pop_matvec fc + out)."""
+        dt = jnp.dtype(self.compute_dtype)
+        nonlin = NONLINS[self.nonlin_type]
+        B = obs.shape[0]
+        x = obs.astype(dt)
+        for name, _, _, s in self.LAYERS:
+            h = batch_conv2d(fparts[f"{name}/w"], x, stride=s).astype(jnp.float32)
+            x = nonlin(h + fparts[f"{name}/b"][:, None, None, :]).astype(dt)
+        x = x.reshape(B, -1)
+        h = pop_matvec(x, fparts["fc/w"], self.matvec_impl) + fparts["fc/b"]
+        x = nonlin(h)
+        out_w = fparts["out/w"].astype(jnp.float32)
+        return jnp.einsum("bk,bkn->bn", x, out_w) + fparts["out/b"]
+
     def batch_act_parts(self, parts, obs, keys, ctx: VBNStats):
         if isinstance(parts, dict) and "__fused__" in parts:
             return jnp.argmax(self.batch_scores_fused(parts["__fused__"], obs), axis=-1)
+        if isinstance(parts, dict) and "__folded__" in parts:
+            return jnp.argmax(self.batch_scores_folded(parts, obs), axis=-1)
         return jnp.argmax(self.batch_scores_parts(parts, obs, ctx), axis=-1)
 
     # ------------------------------------------------------ fused Pallas path
@@ -221,13 +286,10 @@ class VirtualBNDQN(Model):
         if self.forward_impl in ("fused", "fused1"):
             assert self._fused_eligible(), "fused kernel needs the default topology"
             return self.forward_impl
-        if self.forward_impl == "auto" and self._fused_eligible():
-            from .core import _on_tpu
-
-            # r4: the single-kernel variant beats split on TPU
-            # (results/profile_stages_r04.json act_fused1 vs act_new_bf16)
-            if _on_tpu():
-                return "fused1"
+        # 'auto' routes through _use_folded below; both fused variants
+        # measured slower on v5e (r3:
+        # two-kernel 6.53; r4: single-kernel 6.85 vs split 5.92 us/member —
+        # the small net is compute-bound, see the forward_impl field note)
         return False
 
     def fuse_prepare(self, parts, stats: VBNStats, style: str = "two") -> dict:
@@ -317,6 +379,8 @@ class VirtualBNDQN(Model):
             if fused and isinstance(ctx, VBNStats):
                 style = "one" if fused == "fused1" else "two"
                 return ({"__fused__": self.fuse_prepare(parts, ctx, style)}, ctx)
+            if self._use_folded() and isinstance(ctx, VBNStats):
+                return (self.fold_batch_parts(parts, ctx), ctx)
             return (parts, ctx)
         return (thetas, ctx)
 

@@ -293,6 +293,25 @@ def main(B=256, only=None):
                     return jnp.float32(jnp.sum(a))
                 out[name] = marginal(new_step, ops)
 
+        if want("act_folded_bf16"):
+            mfold = VirtualBNDQN(num_actions=18, forward_impl="folded",
+                                 compute_dtype="bfloat16")
+            thetasf = jax.vmap(mfold.init_theta)(jax.random.split(key, B))
+            fparts, _ = mfold.prepare_batch_params((thetasf, stats))
+            assert "__folded__" in fparts
+            split_a = np.asarray(model.batch_act_parts(
+                model.prepare_parts(jax.vmap(model.unflatten)(thetasf)),
+                obs, keys, stats))
+            fold_a = np.asarray(mfold.batch_act_parts(fparts, obs, keys, stats))
+            print(f"  [folded vs split action match: {(split_a == fold_a).mean():.4f}]",
+                  file=sys.stderr, flush=True)
+            def fold_step(ops, t):
+                o = ops["obs"] + 1e-6 * t.astype(jnp.float32)
+                a = mfold.batch_act_parts(ops["parts"], o, ops["keys"], None)
+                return jnp.float32(jnp.sum(a))
+            out["act_folded_bf16"] = marginal(
+                fold_step, {"obs": obs, "parts": fparts, "keys": keys})
+
         if want("act_fused1"):
             m1 = VirtualBNDQN(num_actions=18, forward_impl="fused1",
                               compute_dtype="bfloat16")

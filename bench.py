@@ -45,6 +45,19 @@ def bench_atari_conv():
     return conv[ATARI_B]
 
 
+def bench_conv_large():
+    """Secondary: the GA-Atari LargeDQN population forward (whole-net fused
+    kernel) at B=256 — tracked per round since the r3→r4 4x regression-fix."""
+    from bench_atari import bench_conv_population
+    from deep_neuroevolution_tpu.models import LargeDQN
+
+    conv, _ = bench_conv_population(
+        batch_sizes=(ATARI_B,), reps=2,
+        model_factory=lambda: LargeDQN(num_actions=18, compute_dtype="bfloat16"),
+    )
+    return conv[ATARI_B]
+
+
 def bench_maze():
     from deep_neuroevolution_tpu.envs import MazeEnv
     from deep_neuroevolution_tpu.models import ContinuousMLP
@@ -89,8 +102,13 @@ def main():
     atari = bench_atari_conv()
     fps = atari["frames_per_s"]
     try:
-        maze_fps = bench_maze()
+        large = bench_conv_large()
     except Exception as e:  # secondary must never sink the headline
+        print(f"conv_large secondary failed: {e}", file=sys.stderr)
+        large = None
+    try:
+        maze_fps = bench_maze()
+    except Exception as e:
         print(f"maze secondary failed: {e}", file=sys.stderr)
         maze_fps = None
 
@@ -104,7 +122,8 @@ def main():
     print(
         f"atari B={ATARI_B}: {atari['engine_steps_per_s']:,.0f} member-steps/s, "
         f"{atari['ms_per_device_step']:.3f} ms/device-step; "
-        f"maze pop{MAZE_POP}: "
+        f"ga-large: " + (f"{large['frames_per_s']:,.0f} frames/s" if large else "n/a")
+        + f"; maze pop{MAZE_POP}: "
         + (f"{maze_fps:,.0f} frames/s" if maze_fps else "n/a"),
         file=sys.stderr,
     )
@@ -118,6 +137,7 @@ def main():
                 "ts": time.strftime("%Y-%m-%dT%H:%M:%S"),
                 "atari_frames_per_s_B256": round(fps, 1),
                 "atari_ms_per_device_step": round(atari["ms_per_device_step"], 4),
+                "ga_large_frames_per_s_B256": round(large["frames_per_s"], 1) if large else None,
                 "maze_frames_per_s_pop5000": round(maze_fps, 1) if maze_fps else None,
             }) + "\n")
     except OSError as e:

@@ -202,6 +202,42 @@ def bench_gradient(dim: int, npairs=2500, table_count=250_000_000, ks=(1, 6), re
     return out
 
 
+def bench_gradient_virtual(dim: int, npairs=2500, ks=(1, 3), reps=2, chunk=128):
+    """The VirtualNoise HBM↔VPU tradeoff (VERDICT r3 weak #6 done-criterion):
+    g = Σ wᵢ·ε(idxᵢ) with every ε row REGENERATED from fold_in(key, idx)
+    instead of read from the HBM table — zero table memory, pure VPU threefry
+    cost. Compare against gradient_pop5000_pallas (718 GB/s table streaming)."""
+    import jax.numpy as jnp
+
+    from deep_neuroevolution_tpu.ops import fitness
+    from deep_neuroevolution_tpu.ops.noise import VirtualNoise
+
+    src = VirtualNoise.from_seed(count=50_000_000)
+    key = jax.random.PRNGKey(1)
+    idxs = src.sample_index_batch(key, dim, npairs)
+    w = jax.random.normal(key, (npairs,), jnp.float32)
+
+    @partial(jax.jit, static_argnums=(1,))
+    def many(w, K):
+        def body(acc, k):
+            g = fitness.gradient_from_noise(src, idxs, w * (1.0 + 1e-6 * k), dim, chunk)
+            return acc + jnp.sum(g), None
+        acc, _ = jax.lax.scan(body, jnp.float32(0), jnp.arange(ks[1], dtype=jnp.float32)[:K])
+        return acc
+
+    for K in ks:
+        t = _timed_fetch(many, w, K)
+        print(f"  [grad_virtual compile+run K={K}: {t:.0f}s]", file=sys.stderr, flush=True)
+    d_small = min(_timed_fetch(many, w, ks[0]) for _ in range(reps))
+    d_big = min(_timed_fetch(many, w, ks[1]) for _ in range(reps))
+    dt = (d_big - d_small) / (ks[1] - ks[0])
+    eq_gbs = npairs * dim * 4 / dt / 1e9  # the table bandwidth this REPLACES
+    print(f"gradient[virtual] pop {2 * npairs} × {dim:,}: {dt * 1e3:.1f} ms "
+          f"(≡ {eq_gbs:.0f} GB/s of table reads avoided; zero table HBM)",
+          file=sys.stderr)
+    return {"ms": dt * 1e3, "equiv_table_gb_per_s": eq_gbs}
+
+
 def bench_maze(pop=5000, warmup=4, reps=10):
     """Secondary: full fused maze-ES generations (r1's headline)."""
     from deep_neuroevolution_tpu.envs import MazeEnv
@@ -282,7 +318,7 @@ if __name__ == "__main__":
     p.add_argument(
         "--only",
         choices=["conv", "conv_indexed", "conv_large", "grad", "grad_pallas",
-                 "grad_large", "grad_large_pallas", "maze"],
+                 "grad_large", "grad_large_pallas", "grad_virtual", "maze"],
         help="run a single measurement (separate processes keep tunnel sessions short)",
     )
     args = p.parse_args()
@@ -341,6 +377,12 @@ if __name__ == "__main__":
         print(json.dumps({"gradient_pop5000_large": bench_gradient(dim, table_count=50_000_000,
                                                                    ks=(1, 4), reps=2,
                                                                    pallas_only=True), "dim": dim}))
+    elif args.only == "grad_virtual":
+        from deep_neuroevolution_tpu.models.batchnorm import VirtualBNDQN
+
+        dim = VirtualBNDQN(num_actions=18).num_params
+        print(json.dumps({"gradient_pop5000_virtual": bench_gradient_virtual(dim),
+                          "dim": dim}))
     elif args.only == "maze":
         print(json.dumps({"maze_es_frames_per_s_pop5000": bench_maze()}))
     else:

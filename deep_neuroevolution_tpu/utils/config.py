@@ -31,6 +31,16 @@ def _camel_to_snake(name: str) -> str:
     return re.sub(r"(?<!^)(?=[A-Z])", "_", name).lower()
 
 
+def _atari_defaults(kwargs):
+    """Engine-slot default for Atari experiments: B=256 is the measured
+    device-throughput optimum (600k vs 407k frames/s at B=64,
+    results/bench_conv_r03.json + the r4 B-sweep artifact) and matches the
+    reference's effective per-GPU concurrency (4 workers × 64 slots,
+    concurrent_worker.py:129-142). Explicit env_kwargs still win."""
+    kwargs.setdefault("batch_size", 256)
+    return kwargs
+
+
 def resolve_env(env_id: str, **kwargs):
     """Map reference env ids onto our env registry."""
     m = re.fullmatch(r"([A-Za-z0-9]+)NoFrameskip-v\d+", env_id)
@@ -40,7 +50,7 @@ def resolve_env(env_id: str, **kwargs):
         # EpisodicLifeEnv defaults ON (atari_wrappers.py:204-222); the GPU
         # stack's 'game' names never had it, so only this id form enables it
         kwargs.setdefault("episodic_life", True)
-        return envs.make(game if _atari_available() else "toy", **kwargs)
+        return envs.make(game if _atari_available() else "toy", **_atari_defaults(kwargs))
     if env_id.startswith("gym."):
         return envs.make(env_id, **kwargs)
     if env_id in ("maze", "toy"):
@@ -62,8 +72,9 @@ def resolve_env(env_id: str, **kwargs):
                 mujoco.resolve_env_id("Humanoid-v5"), xml_file=xml, **kwargs
             )
         return mujoco.MujocoHostEnv(mujoco.resolve_env_id(env_id), **kwargs)
-    # fall back to the atari game-name registry ('frostbite' etc.)
-    return envs.make(env_id, **kwargs)
+    # fall back to the atari game-name registry ('frostbite' etc., the GPU
+    # schema's 'game' field)
+    return envs.make(env_id, **_atari_defaults(kwargs))
 
 
 def _atari_available() -> bool:

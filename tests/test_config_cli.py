@@ -389,3 +389,25 @@ class TestImportHooks:
         np.testing.assert_allclose(
             np.asarray(tr.state.theta), np.asarray(expected), rtol=1e-6
         )
+
+
+class TestAtariEngineDefaults:
+    def test_atari_game_defaults_to_256_slots(self):
+        """Atari experiments default to B=256 engine slots — the measured
+        device-throughput optimum (600k vs 407k frames/s at B=64) and the
+        reference's effective per-GPU concurrency (4 workers x 64 slots,
+        concurrent_worker.py:129-142); explicit env_kwargs still win."""
+        from deep_neuroevolution_tpu.utils import config
+
+        env = config.resolve_env("FrostbiteNoFrameskip-v4", num_threads=1)
+        try:
+            assert env.batch_size == 256
+            assert env.episodic_life  # CPU-schema id form (atari_wrappers)
+        finally:
+            env.close()
+        env = config.resolve_env("FrostbiteNoFrameskip-v4", num_threads=1,
+                                 batch_size=16)
+        try:
+            assert env.batch_size == 16  # explicit kwargs win
+        finally:
+            env.close()

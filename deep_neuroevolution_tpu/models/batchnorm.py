@@ -76,6 +76,7 @@ class VirtualBNDQN(Model):
     #              that net IS DMA-bound (8.4 MB/member);
     #   'auto'   = split (the r3+r4 measured winner on TPU)
     forward_impl: str = "auto"
+    fused_interpret: bool = False  # interpret-mode kernels (CPU tests)
 
     LAYERS: Tuple[Tuple[str, int, int, int], ...] = (("conv1", 16, 8, 4), ("conv2", 32, 4, 2))
     FC: int = 256
@@ -265,7 +266,11 @@ class VirtualBNDQN(Model):
 
     def batch_act_parts(self, parts, obs, keys, ctx: VBNStats):
         if isinstance(parts, dict) and "__fused__" in parts:
-            return jnp.argmax(self.batch_scores_fused(parts["__fused__"], obs), axis=-1)
+            return jnp.argmax(
+                self.batch_scores_fused(parts["__fused__"], obs,
+                                        interpret=self.fused_interpret),
+                axis=-1,
+            )
         if isinstance(parts, dict) and "__folded__" in parts:
             return jnp.argmax(self.batch_scores_folded(parts, obs), axis=-1)
         return jnp.argmax(self.batch_scores_parts(parts, obs, ctx), axis=-1)

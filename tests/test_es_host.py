@@ -47,6 +47,28 @@ def test_es_vbn_on_toy_atari():
     env.close()
 
 
+def test_es_vbn_fused1_impl_through_trainer():
+    """The single-kernel fused1 forward (interpret mode on CPU) drives a
+    full ESTrainer generation: prepare_batch_params hands the rollout
+    engine the '__fused__' layout dict per slot group and training still
+    steps (the group slicing happens on raw thetas BEFORE prepare, so the
+    kernel-layout build is per-group — locking in that ordering)."""
+    _silence()
+    env = AtariEnv("toy", batch_size=4, num_threads=1, pipeline_groups=2)
+    try:
+        model = VirtualBNDQN(num_actions=env.num_actions,
+                             forward_impl="fused1", fused_interpret=True)
+        cfg = ESConfig(noise_stdev=0.02, population_size=4,
+                       num_eval_episodes=0, episode_cutoff_mode=5)
+        tr = ESTrainer(env, model, cfg, optimizer=Adam(stepsize=0.01),
+                       noise_table=NoiseTable.from_seed(count=1_500_000), seed=0)
+        st = tr.train_step()
+        assert st.returns.shape == (2, 2)
+        assert np.isfinite(st.update_ratio)
+    finally:
+        env.close()
+
+
 class TestHostObstatSampling:
     """Per-rollout Bernoulli obs-stat sampling on the HOST paths
     (es.py:356-363 calc_obstat_prob — the CPU workers' semantics; the r2

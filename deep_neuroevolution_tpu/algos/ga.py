@@ -43,7 +43,7 @@ import numpy as np
 from ..envs.core import Env
 from ..models.core import Model
 from ..ops import optim, schedules
-from ..ops.noise import NoiseTable
+from ..ops.noise import NoiseTable, VirtualNoise, noise_rows, noise_source_size
 from ..utils import tabular as tlogger
 from .es import CutoffState, parse_cutoff, update_cutoff
 from .rollout import rollout_batch
@@ -99,18 +99,20 @@ class GAState:
 
 
 @partial(jax.jit, static_argnums=(2, 3))
-def _randomize_thetas(table: jax.Array, key: jax.Array, n: int, dim: int, scale_by: jax.Array):
+def _randomize_thetas(table, key: jax.Array, n: int, dim: int, scale_by: jax.Array):
     """n fresh genomes: θ = ε(idx)·scale_by (base.py:121-125 randomize +
-    compute_weights_from_seeds init)."""
-    idxs = jax.random.randint(key, (n,), 0, table.shape[0] - dim + 1, dtype=jnp.int32)
-    eps = jax.vmap(lambda i: jax.lax.dynamic_slice(table, (i,), (dim,)))(idxs)
+    compute_weights_from_seeds init). `table` is the raw [N] buffer or a
+    VirtualNoise source (genomes then index counter-based streams — no HBM
+    table at all; same documented divergence as the ES wiring)."""
+    idxs = jax.random.randint(key, (n,), 0, noise_source_size(table) - dim + 1, dtype=jnp.int32)
+    eps = noise_rows(table, idxs, dim)
     return idxs, eps * scale_by[None, :]
 
 
 @partial(jax.jit, static_argnums=(3, 4))
 def _mutate_thetas(
     parent_thetas: jax.Array,  # [T, D]
-    table: jax.Array,
+    table,
     key: jax.Array,
     n: int,
     dim: int,
@@ -119,8 +121,8 @@ def _mutate_thetas(
     """n offspring: θ = parents[pidx] + power·ε(midx) (base.py:148-156)."""
     kp, km = jax.random.split(key)
     pidx = jax.random.randint(kp, (n,), 0, parent_thetas.shape[0], dtype=jnp.int32)
-    midx = jax.random.randint(km, (n,), 0, table.shape[0] - dim + 1, dtype=jnp.int32)
-    eps = jax.vmap(lambda i: jax.lax.dynamic_slice(table, (i,), (dim,)))(midx)
+    midx = jax.random.randint(km, (n,), 0, noise_source_size(table) - dim + 1, dtype=jnp.int32)
+    eps = noise_rows(table, midx, dim)
     thetas = parent_thetas[pidx] + power * eps
     return pidx, midx, thetas
 
@@ -130,7 +132,7 @@ def _ga_gen_rounds(
     env: Env,
     model: Model,
     parent_thetas: jax.Array,  # [T, D]; ignored when randomize
-    table: jax.Array,
+    table,
     chunk: int,
     n_rounds: int,
     randomize: bool,
@@ -154,8 +156,8 @@ def _ga_gen_rounds(
 
     def body(carry, rkey):
         kp, km, kroll = jax.random.split(rkey, 3)
-        midx = jax.random.randint(km, (chunk,), 0, table.shape[0] - dim + 1, dtype=jnp.int32)
-        eps = jax.vmap(lambda i: jax.lax.dynamic_slice(table, (i,), (dim,)))(midx)
+        midx = jax.random.randint(km, (chunk,), 0, noise_source_size(table) - dim + 1, dtype=jnp.int32)
+        eps = noise_rows(table, midx, dim)
         if randomize:
             pidx = jnp.zeros((chunk,), jnp.int32)
             if cpu_init:  # normalized-column reinit (es ga.py:256-260)
@@ -178,11 +180,11 @@ def _ga_gen_rounds(
 
 
 @partial(jax.jit, static_argnums=())
-def _tail_reconstruct(parent_rows: jax.Array, table: jax.Array, midx: jax.Array, powers: jax.Array):
+def _tail_reconstruct(parent_rows: jax.Array, table, midx: jax.Array, powers: jax.Array):
     """θ = parent + power·ε(midx) for a batch of chains whose prefix hit the
     parent cache (base.py:127-138 cache shortcut, vectorized)."""
     dim = parent_rows.shape[1]
-    eps = jax.vmap(lambda i: jax.lax.dynamic_slice(table, (i,), (dim,)))(midx)
+    eps = noise_rows(table, midx, dim)
     return parent_rows + powers[:, None] * eps
 
 
@@ -222,11 +224,6 @@ class GATrainer:
         self.env = env
         self.model = model
         self.config = config
-        from ..ops.noise import VirtualNoise
-
-        assert not isinstance(noise_table, VirtualNoise), (
-            "VirtualNoise is wired for ES only: seed-chain genomes index a shared materialized table (ga.py:250-264)"
-        )
         self.noise = noise_table or NoiseTable.from_seed()
         assert self.noise.size > model.num_params, (
             f"noise table ({self.noise.size}) must exceed num_params ({model.num_params})"
@@ -249,6 +246,15 @@ class GATrainer:
     def _next_key(self):
         self.key, k = jax.random.split(self.key)
         return k
+
+    @property
+    def _table_arg(self):
+        """What the jitted kernels receive: the raw [N] buffer of a
+        materialized NoiseTable, or the VirtualNoise pytree itself — GA
+        genomes are the *natural* VirtualNoise consumer (seed chains already
+        are noise indices; counter-based regeneration deletes the 1 GB table
+        from synthesis entirely)."""
+        return self.noise if isinstance(self.noise, VirtualNoise) else self.noise.noise
 
     def copy_population(self, filename: str) -> None:
         """Import a population from another run (gpu ga.py:75-82
@@ -298,7 +304,7 @@ class GATrainer:
             powers = jnp.asarray(
                 [s[1] if isinstance(s, tuple) else 0.0 for s in seeds], jnp.float32
             )
-            return genome.reconstruct_gpu_style(self.noise.noise, idxs, powers, dim, self.scale_by)
+            return genome.reconstruct_gpu_style(self._table_arg, idxs, powers, dim, self.scale_by)
         # cpu style: raw slice → reinit → += stdev·ε (es_distributed/ga.py:250-264)
         theta = self.model.reinit_theta(self.noise.get(jnp.int32(seeds[0]), dim))
         for s in seeds[1:]:
@@ -415,18 +421,16 @@ class GATrainer:
             for _ in range(n_rounds):
                 if randomize:
                     midx_r, thetas_r = _randomize_thetas(
-                        self.noise.noise, self._next_key(), chunk, dim, self.scale_by
+                        self._table_arg, self._next_key(), chunk, dim, self.scale_by
                     )
                     if cfg.genome_style == "cpu":
-                        raw = jax.vmap(
-                            lambda i: jax.lax.dynamic_slice(self.noise.noise, (i,), (dim,))
-                        )(midx_r)
+                        raw = noise_rows(self._table_arg, midx_r, dim)
                         thetas_r = jax.vmap(self.model.reinit_theta)(raw)
                     pidx_r = jnp.zeros((chunk,), jnp.int32)
                 else:
                     pidx_r, midx_r, thetas_r = _mutate_thetas(
                         self.cached_parent_thetas,
-                        self.noise.noise,
+                        self._table_arg,
                         self._next_key(),
                         chunk,
                         dim,
@@ -447,7 +451,7 @@ class GATrainer:
                 self.env,
                 self.model,
                 jnp.zeros((1, dim), jnp.float32) if randomize else self.cached_parent_thetas,
-                self.noise.noise,
+                self._table_arg,
                 chunk,
                 n_rounds,
                 randomize,
@@ -618,7 +622,7 @@ class GATrainer:
             tail = seeds[-1]
             m, p = tail if isinstance(tail, tuple) else (tail, self.config.noise_stdev)
             return _tail_reconstruct(
-                parent[None], self.noise.noise,
+                parent[None], self._table_arg,
                 jnp.asarray([m], jnp.int32), jnp.asarray([p], jnp.float32),
             )[0]
         if len(seeds) == 1 and self.config.genome_style == "gpu":

@@ -74,6 +74,9 @@ class VirtualBNDQN(Model):
     #              per-member kernel can (results/profile_stages_r04.json).
     #              The same recipe wins on the LargeDQN precisely because
     #              that net IS DMA-bound (8.4 MB/member);
+    #   'folded' = split with the VBN affines pre-folded into the conv/fc
+    #              weights (r4 experiment: a wash vs split — XLA already
+    #              fuses the affine into the conv epilogue; kept for study);
     #   'auto'   = split (the r3+r4 measured winner on TPU)
     forward_impl: str = "auto"
     fused_interpret: bool = False  # interpret-mode kernels (CPU tests)
@@ -285,13 +288,14 @@ class VirtualBNDQN(Model):
             and self.LAYERS == (("conv1", 16, 8, 4), ("conv2", 32, 4, 2))
         )
 
-    def _use_fused(self) -> bool:
+    def _use_fused(self):
         """Which fused variant (if any) the batch path uses; returns one of
         False | 'fused' | 'fused1'."""
         if self.forward_impl in ("fused", "fused1"):
             assert self._fused_eligible(), "fused kernel needs the default topology"
             return self.forward_impl
-        # 'auto' routes through _use_folded below; both fused variants
+        # 'auto' (and 'folded', handled by _use_folded) stays off the fused
+        # per-member kernels: both fused variants
         # measured slower on v5e (r3:
         # two-kernel 6.53; r4: single-kernel 6.85 vs split 5.92 us/member —
         # the small net is compute-bound, see the forward_impl field note)

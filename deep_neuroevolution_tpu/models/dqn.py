@@ -118,6 +118,12 @@ class SmallDQN(Model):
         if self.conv_impl == "einsum":
             return False
         if self.conv_impl == "fused":
+            # loud failure on unsupported geometry, matching
+            # _use_whole_fused's behavior for forward_impl='fused'
+            assert self._conv_fused_eligible(), (
+                "conv_impl='fused' needs a reference DQN geometry "
+                "(84×84, relu, k8s4→k4s2[→k3s1])"
+            )
             return True
         # 'auto' stays on the einsum chain: the conv-chain kernel measured
         # only ~7% faster in isolation for the 3-conv geometry (4.77 vs
@@ -156,7 +162,7 @@ class SmallDQN(Model):
         dt = jnp.dtype(self.compute_dtype)
         nonlin = NONLINS[self.nonlin_type]
         B = obs.shape[0]
-        if self._use_fused_conv() and self._conv_fused_eligible():
+        if self._use_fused_conv():
             x = self._fused_conv_acts(parts, obs).astype(dt).reshape(B, -1)
         else:
             x = obs.astype(dt)
@@ -222,7 +228,11 @@ class LargeDQN(SmallDQN):
         f32 = jnp.float32
         wf = parts["fc/w"].reshape(B, fk.P2, fk.LG_C3, fk.LG_FC)
         nout = self.num_actions
-        wo = jnp.pad(parts["out/w"].astype(bf), ((0, 0), (0, 0), (0, fk.NOUT - nout)))
+        # out/w stays f32: the split route computes the final scores in f32
+        # (batch_scores_parts), and the out layer is the decision layer where
+        # bf16 near-ties flip the argmax between routes. 512×64 f32 adds only
+        # ~64 KB/member to the 8.4 MB DMA stream (~0.8%).
+        wo = jnp.pad(parts["out/w"].astype(f32), ((0, 0), (0, 0), (0, fk.NOUT - nout)))
         bo = jnp.pad(parts["out/b"].astype(f32), ((0, 0), (0, fk.NOUT - nout)),
                      constant_values=-1e9)[:, None, :]
         return {

@@ -27,10 +27,12 @@ from typing import Sequence
 import jax
 import jax.numpy as jnp
 
+from .noise import noise_row
+
 
 @partial(jax.jit, static_argnums=(3,))
 def reconstruct_gpu_style(
-    table_noise: jax.Array,  # [count] noise buffer
+    table_noise,  # [count] noise buffer, or a VirtualNoise source
     chain_idxs: jax.Array,  # [L] int32; entry 0 = init seed
     chain_powers: jax.Array,  # [L] f32; entry 0 ignored, 0.0 = padding
     dim: int,
@@ -38,12 +40,12 @@ def reconstruct_gpu_style(
 ) -> jax.Array:
     """θ from a GPU-style chain: θ₀ = ε₀·scale_by; θ += powerₖ·εₖ
     (base.py:139-145). Padded entries contribute 0 via power=0."""
-    eps0 = jax.lax.dynamic_slice(table_noise, (chain_idxs[0],), (dim,))
+    eps0 = noise_row(table_noise, chain_idxs[0], dim)
     theta0 = eps0 * scale_by if scale_by is not None else eps0
 
     def body(theta, entry):
         idx, power = entry
-        eps = jax.lax.dynamic_slice(table_noise, (idx,), (dim,))
+        eps = noise_row(table_noise, idx, dim)
         return theta + power * eps, None
 
     theta, _ = jax.lax.scan(body, theta0, (chain_idxs[1:], chain_powers[1:]))
@@ -59,7 +61,7 @@ def reconstruct_gpu_style_batch(table_noise, chains_idxs, chains_powers, dim, sc
 def extend(theta_parent: jax.Array, table_noise: jax.Array, idx: jax.Array, power, dim: int):
     """One mutation step from a cached parent θ (base.py:148-156
     mutate/compute_mutation)."""
-    return theta_parent + power * jax.lax.dynamic_slice(table_noise, (idx,), (dim,))
+    return theta_parent + power * noise_row(table_noise, idx, dim)
 
 
 def pad_chains(chains: Sequence[Sequence[tuple]], max_len: int):

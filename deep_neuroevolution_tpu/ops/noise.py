@@ -156,6 +156,13 @@ def noise_rows(source, idxs: jax.Array, dim: int) -> jax.Array:
     return jax.vmap(lambda i: jax.lax.dynamic_slice(source, (i,), (dim,)))(idxs)
 
 
+def noise_row(source, i: jax.Array, dim: int) -> jax.Array:
+    """One [dim] noise row from a table buffer or a VirtualNoise."""
+    if isinstance(source, VirtualNoise):
+        return source.get(i, dim)
+    return jax.lax.dynamic_slice(source, (i,), (dim,))
+
+
 def noise_source_size(source):
     return source.size if isinstance(source, VirtualNoise) else source.shape[0]
 

@@ -309,7 +309,9 @@ def large_dqn_fused_scores(ops: dict, interpret: bool = False,
       wf [B, 64, 121, 512] bf16     fc rows re-ordered CHANNEL-major:
                                     wf[b, c, p, :] = fc/w[b, p·64+c, :]
       b1/b2/b3 [B, 1, C] f32, bf [B, 1, 512] f32
-      wo [B, 512, 64] bf16 (lanes padded), bo [B, 1, 64] f32 (pad = -1e9)
+      wo [B, 512, 64] f32 (lanes padded; f32 so the decision layer matches
+      the split route's f32 scores — bf16 here flips near-tie argmaxes),
+      bo [B, 1, 64] f32 (pad = -1e9)
     """
     B = ops["patches1"].shape[0]
     return pl.pallas_call(

@@ -194,6 +194,16 @@ def load_experiment(
         from ..ops.noise import VirtualNoise
 
         noise_table = VirtualNoise.from_seed(count=overrides.get("noise_size", 250_000_000))
+    elif overrides.get("noise") == "device":
+        # generate the table ON DEVICE (NoiseTable.from_key): host→HBM
+        # transfer of the default 1 GB table takes >20 min through a relay
+        # tunnel (and minutes over PCIe); device threefry generates it in
+        # ~ms. Not RandomState(123)-bit-compatible — use for training runs,
+        # not reference-parity studies.
+        noise_table = NoiseTable.from_key(
+            jax.random.PRNGKey(overrides.get("noise_seed", 123)),
+            count=overrides.get("noise_size", 250_000_000),
+        )
     elif "noise_size" in overrides:
         noise_table = NoiseTable.from_seed(count=overrides["noise_size"])
 

@@ -113,6 +113,9 @@ def run_seed(seed: int, gens: int, pop: int, batch_size: int, tslimit: int,
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--seeds", type=int, default=3)
+    p.add_argument("--seed_list", default=None,
+                   help="comma-separated explicit seeds (overrides --seeds); "
+                        "lets one seed run per OS process for parallel campaigns")
     p.add_argument("--gens", type=int, default=40)
     p.add_argument("--pop", type=int, default=128)
     p.add_argument("--batch_size", type=int, default=32)
@@ -125,7 +128,9 @@ def main():
     args = p.parse_args()
 
     seeds = {}
-    for s in range(args.seeds):
+    seed_values = ([int(s) for s in args.seed_list.split(",")]
+                   if args.seed_list else list(range(args.seeds)))
+    for s in seed_values:
         seeds[str(s)] = run_seed(s, args.gens, args.pop, args.batch_size,
                                  args.tslimit, args.obstat_prob,
                                  resume_dir=args.resume_dir)

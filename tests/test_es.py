@@ -134,6 +134,14 @@ class TestESLearning:
         assert tr.noise.size == 300_000
         st = tr.train_step()
         assert np.isfinite(st.update_ratio)
+        # the same override now reaches GA (r5: the seed-chain consumer)
+        exp_ga = dict(exp, selection_threshold=4, validation_threshold=2,
+                      num_validation_episodes=2, num_test_episodes=2)
+        tr = load_experiment(exp_ga, algo="ga", seed=0,
+                             overrides={"noise": "virtual", "noise_size": 300_000})
+        assert isinstance(tr.noise, VirtualNoise)
+        st = tr.train_step()
+        assert len(st.population) == 16
 
     def test_counters_and_state(self):
         _silence()

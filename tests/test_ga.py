@@ -182,3 +182,53 @@ class TestChunkedSynthesis:
         via_lookup = np.asarray(tr._lookup_theta(two[0]))
         via_full = np.asarray(tr._reconstruct(two[0]))
         np.testing.assert_allclose(via_lookup, via_full, atol=1e-6)
+
+    def test_ga_improves_with_virtual_noise(self):
+        """VirtualNoise drives the full GATrainer (VERDICT r4 next-step #6):
+        genomes become counter-based stream ids — synthesis, the parent
+        cache, and the validation/test ladder all regenerate rows from
+        fold_in(key, idx), with NO materialized table in HBM. GA is the
+        natural consumer: seed chains already are noise indices."""
+        _silence()
+        from deep_neuroevolution_tpu.ops.noise import VirtualNoise
+
+        env = CartPoleEnv()
+        model = LinearClassifier(obs_dim=4, num_actions=2)
+        cfg = GAConfig(
+            population_size=64, selection_threshold=8, validation_threshold=4,
+            num_validation_episodes=4, num_test_episodes=4,
+            mutation_power=0.1, timesteps=1e9,
+        )
+        tr = GATrainer(env, model, cfg,
+                       noise_table=VirtualNoise.from_seed(count=200_000), seed=0)
+        best = -1.0
+        for _ in range(12):
+            st = tr.train_step()
+            best = max(best, st.population[0].fitness)
+            if best >= 200:
+                break
+        assert best > 100, f"virtual-noise GA stuck at {best}"
+        # chain θ lookup (cache miss → full reconstruction) must agree with
+        # the incrementally-built parent cache on the virtual source too
+        seeds = tr.cached_parent_seeds[0]
+        cached = np.asarray(tr.cached_parent_thetas[0])
+        rebuilt = np.asarray(tr._reconstruct(seeds))
+        np.testing.assert_allclose(rebuilt, cached, rtol=1e-5, atol=1e-6)
+
+    def test_rs_with_virtual_noise_runs(self):
+        """The RS degenerate case (fresh single-seed genomes) on the
+        counter-based source."""
+        _silence()
+        from deep_neuroevolution_tpu.ops.noise import VirtualNoise
+
+        env = CartPoleEnv()
+        model = LinearClassifier(obs_dim=4, num_actions=2)
+        cfg = GAConfig(population_size=16, validation_threshold=2,
+                       num_validation_episodes=2, num_test_episodes=2,
+                       mutation_power=0.1, timesteps=1e9)
+        tr = RSTrainer(env, model, cfg,
+                       noise_table=VirtualNoise.from_seed(count=200_000), seed=0)
+        st = tr.train_step()
+        st = tr.train_step()
+        assert all(len(o.seeds) == 1 for o in st.population)
+        assert np.isfinite(tr.best_score)

@@ -319,6 +319,26 @@ class TestFusedVBNDQN:
         np.testing.assert_allclose(fused, split, atol=0.05, rtol=0.05)
         np.testing.assert_array_equal(np.argmax(split, axis=1), np.argmax(fused, axis=1))
 
+    def test_fused1_kernel_matches_split_path(self):
+        """vbn_dqn_fused1_scores (the single-kernel VBN variant,
+        ops/pallas_fused_dqn.py) numerical parity against the split route —
+        the same direct comparison the two-kernel and LargeDQN whole-net
+        variants get (previously only covered via a trainer smoke test)."""
+        m = VirtualBNDQN(num_actions=18, matvec_impl="xla")
+        B = 2
+        thetas = jax.vmap(m.init_theta)(jax.random.split(jax.random.PRNGKey(4), B))
+        ref = jax.random.uniform(jax.random.PRNGKey(5), (4, 84, 84, 4))
+        stats = m.batch_ref_stats(thetas, ref)
+        obs = jax.random.uniform(jax.random.PRNGKey(6), (B, 84, 84, 4))
+        parts, st = m.prepare_batch_params((thetas, stats))
+        split = np.asarray(m.batch_scores_parts(parts, obs, st))
+        fused1 = np.asarray(
+            m.batch_scores_fused(m.fuse_prepare(parts, stats, style="one"),
+                                 obs, interpret=True)
+        )[:, :18]
+        np.testing.assert_allclose(fused1, split, atol=0.05, rtol=0.05)
+        np.testing.assert_array_equal(np.argmax(split, axis=1), np.argmax(fused1, axis=1))
+
     def test_forward_impl_auto_uses_split_on_cpu(self):
         m = VirtualBNDQN(num_actions=6)
         assert not m._use_fused()  # CPU backend in tests

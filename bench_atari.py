@@ -94,19 +94,34 @@ def bench_conv_population(
     results = {}
     for B in batch_sizes:
         key = jax.random.PRNGKey(0)
-        thetas = jax.vmap(model.init_theta)(jax.random.split(key, B))
-        if model.needs_ref_batch:
-            ref_batch = jax.random.uniform(key, (128, 84, 84, 4), jnp.float32)
-            stats = model.batch_ref_stats(thetas, ref_batch)  # per-gen, amortized
-        else:
-            stats = None
         act = model.make_batch_act()
-        # hoist unflatten/casts out of the step loop exactly as the rollout
-        # engines do (rollout.py / rollout_host.py call act.prepare once)
-        prepared, stats = act.prepare((thetas, stats))
+        # Synthesize + prepare in member CHUNKS so no full [B, D] f32 stack
+        # ever exists: the eager whole-population path peaks at f32 θ + f32
+        # parts + compute-dtype layout simultaneously (~15.6 GB at LargeDQN
+        # B=384 — the r4 OOM). Only the prepared compute-dtype pytree is
+        # kept, exactly what the step loop reads.
+        ref_batch = (
+            jax.random.uniform(key, (128, 84, 84, 4), jnp.float32)
+            if model.needs_ref_batch else None
+        )
+        chunk = min(B, 128)
+        preps, stat_parts = [], []
+        for s in range(0, B, chunk):
+            ks = jax.random.split(jax.random.fold_in(key, s), min(chunk, B - s))
+            th = jax.vmap(model.init_theta)(ks)
+            st = model.batch_ref_stats(th, ref_batch) if model.needs_ref_batch else None
+            p, st = act.prepare((th, st))
+            jax.block_until_ready(p)
+            preps.append(p)
+            stat_parts.append(st)
+            del th
+        prepared = jax.tree_util.tree_map(lambda *xs: jnp.concatenate(xs, 0), *preps)
+        stats = (
+            jax.tree_util.tree_map(lambda *xs: jnp.concatenate(xs, 0), *stat_parts)
+            if model.needs_ref_batch else None
+        )
+        del preps, stat_parts
         jax.block_until_ready(prepared)
-        del thetas  # free the f32 stack: at LargeDQN B=512 it is 8.3 GB of
-        # HBM the step never reads (only the prepared bf16 parts are used)
         frames0 = jax.random.randint(
             key, (B, 2, 210, 160), 0, 256, dtype=jnp.int32
         ).astype(jnp.uint8)

@@ -579,12 +579,15 @@ class ESTrainer:
     def _host_eval(self, theta, key, ctx):
         from .rollout_host import rollout_host
 
+        # only n slots run (n_slots): stepping all 256 engine slots — and
+        # staging their full frame batches through the device link — to
+        # harvest 8 noiseless episodes measurably doubled generation cost
         n = min(self.config.num_eval_episodes, self.env.batch_size)
-        thetas = jnp.broadcast_to(theta, (self.env.batch_size,) + theta.shape)
+        thetas = jnp.broadcast_to(theta, (n,) + theta.shape)
         if self.model.needs_ref_batch:
             stats = self.model.batch_ref_stats(thetas[:1], self.ref_batch)
             stats = jax.tree_util.tree_map(
-                lambda x: jnp.broadcast_to(x, (self.env.batch_size,) + x.shape[1:]), stats
+                lambda x: jnp.broadcast_to(x, (n,) + x.shape[1:]), stats
             )
             params = (thetas, stats)
         else:
@@ -595,6 +598,7 @@ class ESTrainer:
             params,
             key,
             int(self.cutoff.tslimit),
+            n_slots=n,
         )
         return res.returns[:n], res.lengths[:n], res.bc[:n]
 

@@ -352,8 +352,17 @@ class GATrainer:
             key = self._next_key()
         n = thetas.shape[0]
         B = self.env.batch_size
-        if n < B:
-            pad = jnp.broadcast_to(thetas[-1:], (B - n,) + thetas.shape[1:])
+        # pad up to a power-of-two slot bucket, not the full slot count:
+        # the validation/test ladder evaluates handfuls of elites
+        # (gpu ga.py:186-204) and stepping all 256 engine slots for them —
+        # plus their frame batches over the device link — dominated ladder
+        # cost. Buckets keep the compiled shape set small (≤ log2(B)).
+        nb = 1
+        while nb < n:
+            nb *= 2
+        nb = min(nb, B)
+        if n < nb:
+            pad = jnp.broadcast_to(thetas[-1:], (nb - n,) + thetas.shape[1:])
             thetas = jnp.concatenate([thetas, pad])
         if self.model.needs_ref_batch:
             stats = self.model.batch_ref_stats(thetas, self.ref_batch)
@@ -366,6 +375,7 @@ class GATrainer:
             params,
             key,
             int(tslimit),
+            n_slots=nb if nb < B else None,
         )
         return res.returns[:n], res.lengths[:n], res.bc[:n]
 

@@ -337,12 +337,14 @@ class NSESTrainer:
     def _host_mean_bc(self, theta, key, ctx):
         from .rollout_host import rollout_host
 
+        # only n slots run (n_slots, see rollout_host): the parent mean-BC
+        # pass needs num_rollouts episodes, not the whole engine batch
         n = min(self.config.num_rollouts, self.env.batch_size)
-        thetas = jnp.broadcast_to(theta, (self.env.batch_size,) + theta.shape)
+        thetas = jnp.broadcast_to(theta, (n,) + theta.shape)
         if self.model.needs_ref_batch:
             stats = self.model.batch_ref_stats(thetas[:1], self.ref_batch)
             stats = jax.tree_util.tree_map(
-                lambda x: jnp.broadcast_to(x, (self.env.batch_size,) + x.shape[1:]), stats
+                lambda x: jnp.broadcast_to(x, (n,) + x.shape[1:]), stats
             )
             params = (thetas, stats)
         else:
@@ -350,6 +352,7 @@ class NSESTrainer:
         res = rollout_host(
             self.env, self.model.make_batch_act(), params, key,
             int(self.cutoff.tslimit_max), collect_bc_traj=self.traj_bc,
+            n_slots=n,
         )
         if self.traj_bc:
             # get_mean_bc (nses.py:34-39): np.mean over rollouts — ragged

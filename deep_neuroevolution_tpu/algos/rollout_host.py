@@ -36,19 +36,23 @@ def _device_step(
     act_fn: Callable,
     params,
     stack: jax.Array,  # [B, h, w, 4] f32
-    keys: jax.Array,  # [B]
+    keys: jax.Array,  # [B] per-EPISODE keys; folded with t in-kernel
     out_h: int,
     out_w: int,
     gray: bool,
     frames: jax.Array,  # [B, 2, H, W] uint8 (this step's raw obs)
+    t: jax.Array,  # scalar int32 step index
 ):
     """Preprocess new frames into the stack, then select actions. `gray`:
     frames are engine-side LUT-decoded grayscale (AtariEnv obs_mode='gray'),
-    so the device skips the palette gather (envs/preprocess.py)."""
+    so the device skips the palette gather (envs/preprocess.py). The
+    per-step key fold happens HERE (not in a separate host-side vmap jit):
+    on a tunnel/relay chip every extra dispatch costs a full RTT per step."""
     pre = preprocess_gray_frames if gray else preprocess_frames
     obs = pre(frames, out_h, out_w)
     new_stack = stack_step(stack, obs)
-    actions = act_fn(params, new_stack, keys)
+    tkeys = jax.vmap(lambda k: jax.random.fold_in(k, t))(keys)
+    actions = act_fn(params, new_stack, tkeys)
     return new_stack, actions
 
 
@@ -90,8 +94,14 @@ def rollout_host_batch(
     collect_bc_traj: bool = False,
     obstat_prob: Optional[float] = None,
     obstat_valid: Optional[np.ndarray] = None,
+    n_slots: Optional[int] = None,
 ) -> RolloutResult:
     """Evaluate B policies on the B host-engine slots, one episode each.
+
+    `n_slots` runs only slots [0, n): eval passes harvest a handful of
+    noiseless episodes (es.py:388-405) and stepping all 256 engine slots —
+    plus shipping their full frame batches over the device link — for 8
+    results was measured to double the generation cost on a relay chip.
 
     `timestep_limit` counts engine steps (= frameskip·4 emulator frames,
     matching the reference's max_frames = tslimit·4 margin handling at the
@@ -105,6 +115,10 @@ def rollout_host_batch(
     this CPU/GPU overlap, gpu_implementation/README.md:3). Per-slot RNG keys
     are group-independent, so results are bit-identical for any G."""
     B = henv.batch_size
+    sub = None
+    if n_slots is not None and n_slots < B:
+        B = max(int(n_slots), 1)
+        sub = np.arange(B, dtype=np.int32)
     G = pipeline_groups if pipeline_groups is not None else getattr(henv, "pipeline_groups", 1)
     if G < 1 or B % G != 0:
         G = 1
@@ -126,10 +140,10 @@ def rollout_host_batch(
         # Bernoulli draw so the RNG stream (and thus bit-identity across
         # emulated vs real pod runs) is unchanged.
         obstat_mask &= np.asarray(obstat_valid, bool)
-    henv.reset(noops=noops, max_frames=timestep_limit * 4)
+    henv.reset(indices=sub, noops=noops, max_frames=timestep_limit * 4)
     gray = getattr(henv, "obs_mode", "indexed") == "gray"
 
-    frames0 = henv.observe()
+    frames0 = henv.observe(indices=sub) if sub is not None else henv.observe()
     keys = jax.random.split(key, B)
     sls = [slice(g * Bg, (g + 1) * Bg) for g in range(G)]
     gidx = [np.arange(g * Bg, (g + 1) * Bg, dtype=np.int32) for g in range(G)]
@@ -175,11 +189,11 @@ def rollout_host_batch(
                 ob_sumsq += np.square(s_np[gmask]).sum(axis=0)
                 ob_count += float(gmask.sum())
             # device: fold new frames into the stack and pick next actions —
-            # dispatched async, overlapping the NEXT group's host step
-            tkeys = jax.vmap(lambda k: jax.random.fold_in(k, t + 1))(keys_g[g])
+            # dispatched async, overlapping the NEXT group's host step (the
+            # key fold rides inside the same dispatch)
             stacks[g], actions_dev[g] = _device_step(
-                act_fn, params_g[g], stacks[g], tkeys, out_hw, out_hw, gray,
-                jnp.asarray(frames_g),
+                act_fn, params_g[g], stacks[g], keys_g[g], out_hw, out_hw, gray,
+                jnp.asarray(frames_g), jnp.int32(t + 1),
             )
             ret[alive_idx] += r_sub
             sret[alive_idx] += np.sign(r_sub)
@@ -194,7 +208,7 @@ def rollout_host_batch(
             for b in np.nonzero(alive_t)[0]:
                 trajs[b].append(ram_t[b])
 
-    bc = henv.final_state()  # RAM bytes (tf_atari.cpp:114-119) as the BC
+    bc = henv.final_state()[:B]  # RAM bytes (tf_atari.cpp:114-119) as the BC
     return RolloutResult(
         jnp.asarray(ret),
         jnp.asarray(sret),
@@ -223,6 +237,7 @@ def rollout_host_vec(
     collect_obstat: bool = False,
     obstat_prob: Optional[float] = None,
     obstat_valid: Optional[np.ndarray] = None,
+    n_slots: Optional[int] = None,
 ) -> RolloutResult:
     """Vector-observation host rollout (MuJoCo family): raw [B, obs_dim]
     observations go straight to the vmapped device forward — no image
@@ -247,7 +262,7 @@ def rollout_host_vec(
     if obstat_valid is not None:
         # see rollout_host_batch: padded slots excluded, RNG stream unchanged
         obstat_mask &= np.asarray(obstat_valid, bool)
-    henv.reset(seeds=rng.integers(0, 2**31 - 1, size=B))
+    henv.reset(indices=sub, seeds=rng.integers(0, 2**31 - 1, size=B))
 
     done = np.zeros(B, bool)
     ret = np.zeros(B, np.float32)
@@ -258,7 +273,7 @@ def rollout_host_vec(
     ob_count = 0.0
 
     keys = jax.random.split(key, B)
-    obs = henv.observe()
+    obs = henv.observe()[:B]
     t = 0
     while not done.all() and t < tslimit:
         tkeys = jax.vmap(lambda k: jax.random.fold_in(k, t))(keys)
@@ -275,10 +290,10 @@ def rollout_host_vec(
         sret[alive_idx] += np.sign(r_sub)
         length[alive] += 1
         done[alive_idx] |= d_sub
-        obs = henv.observe()
+        obs = henv.observe()[:B]
         t += 1
 
-    bc = henv.final_state()
+    bc = henv.final_state()[:B]
     return RolloutResult(
         jnp.asarray(ret),
         jnp.asarray(sret),
@@ -300,6 +315,7 @@ def rollout_host(
     collect_bc_traj: bool = False,
     obstat_prob: Optional[float] = None,
     obstat_valid: Optional[np.ndarray] = None,
+    n_slots: Optional[int] = None,
 ) -> RolloutResult:
     """Dispatch on the host env's observation kind: 'image' engines
     (Atari/ALE, preprocess+stack on device) vs 'vector' engines (MuJoCo)."""
@@ -307,7 +323,7 @@ def rollout_host(
         return rollout_host_vec(
             henv, act_fn, params, key, timestep_limit,
             collect_obstat=collect_obstat, obstat_prob=obstat_prob,
-            obstat_valid=obstat_valid,
+            obstat_valid=obstat_valid, n_slots=n_slots,
         )
     return rollout_host_batch(
         henv,
@@ -320,6 +336,7 @@ def rollout_host(
         collect_bc_traj=collect_bc_traj,
         obstat_prob=obstat_prob,
         obstat_valid=obstat_valid,
+        n_slots=n_slots,
     )
 
 

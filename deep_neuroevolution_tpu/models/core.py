@@ -227,6 +227,41 @@ class Model:
         (conv nets routing their fc through `pop_matvec`) override this."""
         return jax.vmap(lambda p, o, k: self.act_parts(p, o, k, ctx))(parts, obs, keys)
 
+    def prepare_batch_params_chunked(self, params, chunk: int):
+        """`prepare_batch_params` in member chunks, concatenated on device.
+
+        The eager whole-population prepare materializes the f32 parts views
+        AND the compute-dtype copies simultaneously — at LargeDQN B=384 that
+        is ~15.6 GB (f32 θ-stack 6.2 + f32 parts 6.2 + bf16 layout 3.2) and
+        OOMs a 16 GB-HBM chip. Chunking bounds the f32 intermediates to
+        O(chunk·D) while the output stays the full prepared (compute-dtype)
+        pytree. ctx pytrees with leading member axes are sliced alongside."""
+        if not (isinstance(params, tuple) and len(params) == 2):
+            return params
+        thetas, ctx = params
+        if thetas is None or isinstance(thetas, dict):
+            return params
+        B = thetas.shape[0]
+        if chunk >= B:
+            return self.prepare_batch_params(params)
+
+        def slice_ctx(s, e):
+            if ctx is None:
+                return None
+            return jax.tree_util.tree_map(
+                lambda x: x[s:e] if hasattr(x, "shape") and x.ndim and x.shape[0] == B else x,
+                ctx,
+            )
+
+        parts_chunks = []
+        for s in range(0, B, chunk):
+            p, _ = self.prepare_batch_params((thetas[s : s + chunk], slice_ctx(s, s + chunk)))
+            parts_chunks.append(p)
+        parts = jax.tree_util.tree_map(
+            lambda *xs: jnp.concatenate(xs, axis=0), *parts_chunks
+        )
+        return (parts, ctx)
+
     def make_batch_act(self):
         """act_fn for the rollout engine: (params, obs[B,...], keys[B]) →
         actions[B,...]. `params` is (thetas [B, D] — or the prepared parts

@@ -1,0 +1,94 @@
+"""Assemble the toy-Atari learning-campaign artifacts (VERDICT r4 #1).
+
+Reads the per-generation metrics.jsonl written by `main.py train` for the
+ES (VBN small-DQN, CPU-schema config with eval_prob + adaptive cutoff
+active) and GA (LargeDQN + validation/test ladder) campaigns on the native
+ToyCatch backend, and writes one curve artifact per campaign with a
+clear-above-chance verdict.
+
+Chance level: ToyCatch random play catches a drop with p ≈ paddle_width/
+reachable_span; measured random-policy EpRewMean ≈ 0.4-0.5 (the first
+generations of the campaigns themselves).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def load(log_dir):
+    path = os.path.join(REPO, log_dir, "metrics.jsonl")
+    return [json.loads(ln) for ln in open(path)]
+
+
+def assemble_es(out="results/toy_es_curve_r05.json"):
+    rows = load("results/toy_es_campaign")
+    curve = [r.get("EpRewMean") for r in rows]
+    ev = [r.get("EvalEpRewMean") for r in rows]
+    base = sum(curve[:5]) / max(len(curve[:5]), 1)
+    last5 = sum(curve[-5:]) / max(len(curve[-5:]), 1)
+    art = {
+        "workload": "ES on native ToyCatch engine through main.py train "
+                    "(configurations/es_toy_learn.json): ModelVirtualBN "
+                    "small DQN, pop 256, eval_prob->8 evals/gen, adaptive "
+                    "cutoff DSL active, on-chip",
+        "generations": len(rows),
+        "train_reward": curve,
+        "eval_reward": ev,
+        "ep_len": [r.get("EpLenMean") for r in rows],
+        "eval_pop_rank": [r.get("EvalPopRank") for r in rows],
+        "tslimit": [r.get("TimestepLimit") for r in rows],
+        "s_per_gen": [r.get("TimeElapsedThisIter") for r in rows],
+        "random_baseline_first5": base,
+        "final_mean_last5": last5,
+        "best_eval": max((x for x in ev if x == x), default=float("nan")),
+        "clearly_above_chance": last5 > 3 * max(base, 0.2),
+    }
+    with open(os.path.join(REPO, out), "w") as f:
+        json.dump(art, f, indent=1)
+    print(json.dumps({k: art[k] for k in (
+        "generations", "random_baseline_first5", "final_mean_last5",
+        "best_eval", "clearly_above_chance")}))
+
+
+def assemble_ga(out="results/toy_ga_curve_r05.json"):
+    rows = load("results/toy_ga_campaign")
+    pop_mean = [r.get("PopulationEpRewMean") for r in rows]
+    pop_max = [r.get("PopulationEpRewMax") for r in rows]
+    trunc = [r.get("TruncatedPopulationRewMean") for r in rows]
+    test = [r.get("TestRewMean", r.get("EliteTestRewMean")) for r in rows]
+    base = sum(pop_mean[:5]) / max(len(pop_mean[:5]), 1)
+    last5 = sum(pop_mean[-5:]) / max(len(pop_mean[-5:]), 1)
+    art = {
+        "workload": "GA on native ToyCatch engine through main.py train "
+                    "(configurations/ga_toy_learn.json): LargeDQN (fused "
+                    "whole-net kernel route on TPU), pop 256, truncation 20, "
+                    "validation ladder 10x4 + elite test 8, adaptive cutoff, "
+                    "on-chip",
+        "generations": len(rows),
+        "pop_reward_mean": pop_mean,
+        "pop_reward_max": pop_max,
+        "truncated_parent_mean": trunc,
+        "elite_test_reward": test,
+        "s_per_gen": [r.get("TimeElapsedThisIter") for r in rows],
+        "random_baseline_first5": base,
+        "final_mean_last5": last5,
+        "clearly_above_chance": last5 > 3 * max(base, 0.2),
+    }
+    with open(os.path.join(REPO, out), "w") as f:
+        json.dump(art, f, indent=1)
+    print(json.dumps({k: art[k] for k in (
+        "generations", "random_baseline_first5", "final_mean_last5",
+        "clearly_above_chance")}))
+
+
+if __name__ == "__main__":
+    which = sys.argv[1] if len(sys.argv) > 1 else "both"
+    if which in ("es", "both"):
+        assemble_es()
+    if which in ("ga", "both"):
+        assemble_ga()

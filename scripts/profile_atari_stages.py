@@ -150,6 +150,41 @@ def main_large(B=256, only=None):
             return jnp.float32(jnp.sum(a))
         out["lg_forward"] = marginal(fwd_step, {"obs": obs, "parts": parts, "keys": keys})
 
+    # ---- the XLA-side per-step stages the r4 profile only estimated in
+    # aggregate ("~2-4 us/member", RESULTS.md): 4-frame stack update, conv1
+    # im2col write (runs in XLA outside the fused kernel), argmax + staging.
+    if want("lg_stack_update"):
+        from deep_neuroevolution_tpu.envs.preprocess import stack_reset, stack_step
+
+        frame = jax.random.uniform(key, (B, 84, 84), jnp.float32)
+        stack0 = stack_reset(frame)
+
+        def stk_step(ops, t):
+            f = ops["frame"] + 1e-6 * t.astype(jnp.float32)
+            s = stack_step(ops["stack"], f)
+            return jnp.sum(s)
+
+        out["lg_stack_update"] = marginal(stk_step, {"stack": stack0, "frame": frame})
+
+    if want("lg_im2col1"):
+        from deep_neuroevolution_tpu.models.core import extract_patches
+
+        def im_step(ops, t):
+            o = (ops["obs"] + 1e-6 * t.astype(jnp.float32)).astype(jnp.bfloat16)
+            p = extract_patches(o, 8, 4, "SAME")
+            return jnp.sum(p.astype(jnp.float32))
+
+        out["lg_im2col1"] = marginal(im_step, {"obs": obs})
+
+    if want("lg_argmax"):
+        scores = jax.random.uniform(key, (B, 1, 64), jnp.float32)
+
+        def am_step(ops, t):
+            s = ops["scores"] + t.astype(jnp.float32)
+            return jnp.float32(jnp.sum(jnp.argmax(s[:, 0, :], axis=-1)))
+
+        out["lg_argmax"] = marginal(am_step, {"scores": scores})
+
     if want("lg_forward_fused"):
         from deep_neuroevolution_tpu.models import LargeDQN as _LD
 

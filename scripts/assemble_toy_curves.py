@@ -60,7 +60,7 @@ def assemble_ga(out="results/toy_ga_curve_r05.json"):
     pop_mean = [r.get("PopulationEpRewMean") for r in rows]
     pop_max = [r.get("PopulationEpRewMax") for r in rows]
     trunc = [r.get("TruncatedPopulationRewMean") for r in rows]
-    test = [r.get("TestRewMean", r.get("EliteTestRewMean")) for r in rows]
+    test = [r.get("TruncatedPopulationEliteTestRewMean") for r in rows]
     base = sum(pop_mean[:5]) / max(len(pop_mean[:5]), 1)
     last5 = sum(pop_mean[-5:]) / max(len(pop_mean[-5:]), 1)
     art = {

@@ -26,7 +26,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..envs.preprocess import (
-    preprocess_frames, preprocess_gray_frames, stack_reset, stack_step,
+    preprocess_frames, preprocess_gray_frames, scale_preproc_frames,
+    stack_reset, stack_step,
 )
 from .rollout import RolloutResult
 
@@ -39,17 +40,22 @@ def _device_step(
     keys: jax.Array,  # [B] per-EPISODE keys; folded with t in-kernel
     out_h: int,
     out_w: int,
-    gray: bool,
-    frames: jax.Array,  # [B, 2, H, W] uint8 (this step's raw obs)
+    mode: str,
+    frames: jax.Array,  # [B, 2, H, W] uint8 raw / [B, h, w] engine-preprocessed
     t: jax.Array,  # scalar int32 step index
 ):
-    """Preprocess new frames into the stack, then select actions. `gray`:
-    frames are engine-side LUT-decoded grayscale (AtariEnv obs_mode='gray'),
-    so the device skips the palette gather (envs/preprocess.py). The
+    """Preprocess new frames into the stack, then select actions. `mode`
+    is the env's obs_mode: 'indexed' (device palette gather), 'gray'
+    (engine LUT, device max+resize), 'preproc' (engine does everything,
+    device only scales — ~10× fewer bytes on the host→device link, which
+    measured ~40 MB/s through a relay tunnel and dominated the step). The
     per-step key fold happens HERE (not in a separate host-side vmap jit):
     on a tunnel/relay chip every extra dispatch costs a full RTT per step."""
-    pre = preprocess_gray_frames if gray else preprocess_frames
-    obs = pre(frames, out_h, out_w)
+    if mode == "preproc":
+        obs = scale_preproc_frames(frames)
+    else:
+        pre = preprocess_gray_frames if mode == "gray" else preprocess_frames
+        obs = pre(frames, out_h, out_w)
     new_stack = stack_step(stack, obs)
     tkeys = jax.vmap(lambda k: jax.random.fold_in(k, t))(keys)
     actions = act_fn(params, new_stack, tkeys)
@@ -57,8 +63,10 @@ def _device_step(
 
 
 @partial(jax.jit, static_argnums=(1, 2, 3))
-def _device_reset(frames: jax.Array, out_h: int, out_w: int, gray: bool = False):
-    pre = preprocess_gray_frames if gray else preprocess_frames
+def _device_reset(frames: jax.Array, out_h: int, out_w: int, mode: str = "indexed"):
+    if mode == "preproc":
+        return stack_reset(scale_preproc_frames(frames))
+    pre = preprocess_gray_frames if mode == "gray" else preprocess_frames
     return stack_reset(pre(frames, out_h, out_w))
 
 
@@ -141,7 +149,7 @@ def rollout_host_batch(
         # emulated vs real pod runs) is unchanged.
         obstat_mask &= np.asarray(obstat_valid, bool)
     henv.reset(indices=sub, noops=noops, max_frames=timestep_limit * 4)
-    gray = getattr(henv, "obs_mode", "indexed") == "gray"
+    mode = getattr(henv, "obs_mode", "indexed")
 
     frames0 = henv.observe(indices=sub) if sub is not None else henv.observe()
     keys = jax.random.split(key, B)
@@ -153,7 +161,7 @@ def rollout_host_batch(
         # hoist per-member unflatten/casts out of the per-step dispatches
         params_g = [prep(p) for p in params_g]
     keys_g = [keys[s] for s in sls]
-    stacks = [_device_reset(jnp.asarray(frames0[s]), out_hw, out_hw, gray) for s in sls]
+    stacks = [_device_reset(jnp.asarray(frames0[s]), out_hw, out_hw, mode) for s in sls]
     actions_dev = [
         act_fn(params_g[g], stacks[g], jax.vmap(lambda k: jax.random.fold_in(k, 0))(keys_g[g]))
         for g in range(G)
@@ -192,7 +200,7 @@ def rollout_host_batch(
             # dispatched async, overlapping the NEXT group's host step (the
             # key fold rides inside the same dispatch)
             stacks[g], actions_dev[g] = _device_step(
-                act_fn, params_g[g], stacks[g], keys_g[g], out_hw, out_hw, gray,
+                act_fn, params_g[g], stacks[g], keys_g[g], out_hw, out_hw, mode,
                 jnp.asarray(frames_g), jnp.int32(t + 1),
             )
             ret[alive_idx] += r_sub
@@ -347,15 +355,18 @@ def collect_ref_batch_host(henv, key: jax.Array, batch_size: int = 128, out_hw: 
     seed = int(jax.random.randint(key, (), 0, 2**31 - 1))
     rng = np.random.default_rng(seed)
     henv.reset(noops=rng.integers(1, 31, size=B))
-    gray = getattr(henv, "obs_mode", "indexed") == "gray"
-    stack = _device_reset(jnp.asarray(henv.observe()), out_hw, out_hw, gray)
+    mode = getattr(henv, "obs_mode", "indexed")
+    stack = _device_reset(jnp.asarray(henv.observe()), out_hw, out_hw, mode)
     collected = []
     while sum(x.shape[0] for x in collected) < batch_size:
         acts = rng.integers(0, henv.num_actions, size=B).astype(np.int32)
         _, d = henv.step(acts)
         frames = henv.observe()
-        pre = preprocess_gray_frames if gray else preprocess_frames
-        obs = pre(jnp.asarray(frames), out_hw, out_hw)
+        if mode == "preproc":
+            obs = scale_preproc_frames(jnp.asarray(frames))
+        else:
+            pre = preprocess_gray_frames if mode == "gray" else preprocess_frames
+            obs = pre(jnp.asarray(frames), out_hw, out_hw)
         stack = stack_step(stack, obs)
         collected.append(np.asarray(stack))
         # restart any finished slots so frames keep flowing

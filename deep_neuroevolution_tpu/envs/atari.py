@@ -105,9 +105,16 @@ class AtariEnv:
         # indexed frames and decodes on device (bit-exact f32 reference
         # path, tf_atari.py:81-94); divergence between the two is only the
         # LUT's ≤0.5/255 uint8 quantization per pixel.
-        assert obs_mode in ("gray", "indexed"), obs_mode
+        # 'preproc' (r5): the ENGINE also does the 2-frame max + the
+        # align-corners bilinear resize (nevo_observe_preproc) and ships
+        # [B, 84, 84] uint8 — ~10× fewer bytes than 'gray'. Measured here:
+        # a 256-slot 'gray' observation is 17.2 MB and the host→HBM link of
+        # a relay/tunnel host moves ~40 MB/s, so the upload alone was ~85%
+        # of every rollout step. Additional divergence vs 'gray': one more
+        # ≤0.5/255 quantization (after the resize instead of before it).
+        assert obs_mode in ("gray", "indexed", "preproc"), obs_mode
         self.obs_mode = obs_mode
-        if obs_mode == "gray":
+        if obs_mode in ("gray", "preproc"):
             from .preprocess import GRAY_PALETTE_UINT8
 
             self._env.set_gray_lut(GRAY_PALETTE_UINT8)
@@ -130,6 +137,9 @@ class AtariEnv:
         return self._env.step(actions, indices=indices)
 
     def observe(self, indices=None) -> np.ndarray:
+        if self.obs_mode == "preproc":
+            return self._env.observe_preproc(self.warp_size, self.warp_size,
+                                             indices=indices)
         if self.obs_mode == "gray":
             return self._env.observe_gray(indices=indices)
         return self._env.observe(indices=indices)

@@ -136,6 +136,16 @@ def preprocess_gray_frames(frames: jax.Array, out_h: int = 84, out_w: int = 84) 
 
 
 @jax.jit
+def scale_preproc_frames(frames: jax.Array) -> jax.Array:
+    """[B, h, w] uint8 ENGINE-preprocessed frames (nevo_observe_preproc:
+    LUT gray + 2-frame max + align-corners resize already applied in C++) →
+    [B, h, w, 1] f32 in [0,1]. The device's only remaining step is the
+    scale; everything upstream matches preprocess_gray_frames to ≤0.5/255
+    (the engine's final uint8 rounding)."""
+    return frames.astype(jnp.float32)[..., None] * (1.0 / 255.0)
+
+
+@jax.jit
 def stack_reset(frame: jax.Array, num_stack: int = 4) -> jax.Array:
     """Zero history + first frame in the last channel slot
     (stack_frames.py:36-38)."""

@@ -46,6 +46,11 @@ def _load(path: Optional[str] = None):
         if lib.nevo_has_gray:  # absent in pre-r3 .so builds
             lib.nevo_set_gray_lut.argtypes = [ctypes.c_void_p, u8ptr]
             lib.nevo_observe_gray.argtypes = [ctypes.c_void_p, iptr, ctypes.c_int, u8ptr]
+        lib.nevo_has_preproc = hasattr(lib, "nevo_observe_preproc")
+        if lib.nevo_has_preproc:  # absent in pre-r5 .so builds
+            lib.nevo_observe_preproc.argtypes = [
+                ctypes.c_void_p, iptr, ctypes.c_int, ctypes.c_int, ctypes.c_int, u8ptr,
+            ]
         _libs[key] = lib
     return _libs[key]
 
@@ -137,6 +142,26 @@ class HostBatchEnv:
         n = idx.size
         self._lib.nevo_observe_gray(self._h, idx, n, self._obs[:n].reshape(-1))
         return self._obs[:n].copy()
+
+    def observe_preproc(
+        self, out_h: int = 84, out_w: int = 84, indices: Optional[np.ndarray] = None
+    ) -> np.ndarray:
+        """Fully-preprocessed frames [n, out_h, out_w] uint8: LUT gray →
+        2-frame max → align-corners bilinear resize, all in C++
+        (nevo_observe_preproc). ~10× fewer host→device bytes than raw frame
+        pairs — the dominant rollout-step cost on relay/tunnel hosts."""
+        if not getattr(self._lib, "nevo_has_preproc", False):
+            raise RuntimeError(
+                "this engine .so predates the engine-preprocess path "
+                "(obs_mode='preproc'); rebuild with "
+                "`python -m deep_neuroevolution_tpu.native.build`"
+            )
+        idx = self._all if indices is None else np.ascontiguousarray(indices, np.int32)
+        n = idx.size
+        if not hasattr(self, "_pre") or self._pre.shape[1:] != (out_h, out_w):
+            self._pre = np.zeros((self.batch_size, out_h, out_w), np.uint8)
+        self._lib.nevo_observe_preproc(self._h, idx, n, out_h, out_w, self._pre[:n].reshape(-1))
+        return self._pre[:n].copy()
 
     def final_state(self, indices: Optional[np.ndarray] = None) -> np.ndarray:
         idx = self._all if indices is None else np.ascontiguousarray(indices, np.int32)

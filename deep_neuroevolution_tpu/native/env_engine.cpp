@@ -346,6 +346,34 @@ class AleBackend : public Backend {
 
 // ------------------------------------------------------------------- engine
 
+// Align-corners bilinear interpolation axis (src = i·(in−1)/(out−1)) — the
+// exact resize the device path expresses as matmul matrices
+// (envs/preprocess.py _interp_matrix, mirroring tf_atari.py:93
+// resize_bilinear align_corners=True). Bilinear is separable, so the
+// row-then-column lerp below equals the device's R @ img @ C.
+struct InterpAxis {
+  std::vector<int> lo, hi;
+  std::vector<float> w;
+};
+
+static InterpAxis make_interp(int in, int out) {
+  InterpAxis a;
+  a.lo.resize(out);
+  a.hi.resize(out);
+  a.w.resize(out);
+  const float scale = out > 1 ? (float)(in - 1) / (float)(out - 1) : 0.f;
+  for (int i = 0; i < out; ++i) {
+    float src = i * scale;
+    int lo = (int)src;
+    if (lo > in - 1) lo = in - 1;
+    int hi = lo + 1 < in ? lo + 1 : in - 1;
+    a.lo[i] = lo;
+    a.hi[i] = hi;
+    a.w[i] = src - (float)lo;
+  }
+  return a;
+}
+
 struct Engine {
   std::unique_ptr<Backend> backend;
   std::unique_ptr<ThreadPool> pool;
@@ -359,6 +387,9 @@ struct Engine {
   // single source of truth is envs/preprocess.py's NTSC palette)
   uint8_t gray_lut[256] = {0};
   bool has_gray_lut = false;
+  // engine-side full-preprocess caches (nevo_observe_preproc)
+  int pre_h = 0, pre_w = 0;
+  InterpAxis prow, pcol;
 };
 
 }  // namespace nevo
@@ -465,6 +496,66 @@ void nevo_observe_gray(void* h, const int* indices, int n, uint8_t* out) {
     // in-place LUT map: per-byte table lookup, auto-vectorizable; ~µs per
     // 67 KB slot vs ~500 µs on the device (the gather this replaces)
     for (size_t k = 0; k < per; ++k) dst[k] = lut[dst[k]];
+  });
+}
+
+void nevo_observe_preproc(void* h, const int* indices, int n, int out_h, int out_w,
+                          uint8_t* out) {
+  // Full DeepMind preprocess in the engine: LUT grayscale (per frame) →
+  // 2-frame max → align-corners bilinear resize → uint8. Byte-for-byte the
+  // same pipeline the device runs in preprocess_gray_frames
+  // (tf_atari.py:90-94 order), quantized to uint8 at the end so a 256-slot
+  // observation ships as ~1.8 MB instead of 17.2 MB of raw frame pairs —
+  // the host→HBM link (~40 MB/s through a relay tunnel) was 85% of every
+  // rollout step. Divergence from the device path: ≤0.5/255 per output
+  // pixel (the final rounding).
+  auto* e = static_cast<Engine*>(h);
+  const int H = e->backend->height(), W = e->backend->width();
+  const int F = e->backend->frames_per_obs();
+  if (e->pre_h != out_h || e->pre_w != out_w) {  // lazily (re)build axes —
+    e->prow = nevo::make_interp(H, out_h);       // called from the single
+    e->pcol = nevo::make_interp(W, out_w);       // Python thread, before
+    e->pre_h = out_h;                            // the pool fans out
+    e->pre_w = out_w;
+  }
+  const nevo::InterpAxis& prow = e->prow;
+  const nevo::InterpAxis& pcol = e->pcol;
+  const uint8_t* lut = e->gray_lut;
+  const size_t per_out = (size_t)out_h * out_w;
+  e->pool->parallel_for(n, [&](int i) {
+    thread_local std::vector<uint8_t> raw;
+    thread_local std::vector<float> rowbuf;
+    raw.resize((size_t)F * H * W);
+    rowbuf.resize((size_t)out_h * W);
+    e->backend->observe(indices[i], raw.data());
+    const uint8_t* f0 = raw.data();
+    const uint8_t* f1 = F > 1 ? raw.data() + (size_t)H * W : raw.data();
+    // fused LUT+max+row-lerp: only the two source rows of each output row
+    // are touched, in gray space (LUT applied per frame BEFORE the max,
+    // matching the existing engine-gray + device-max order)
+    for (int r = 0; r < out_h; ++r) {
+      const uint8_t* a0 = f0 + (size_t)prow.lo[r] * W;
+      const uint8_t* a1 = f1 + (size_t)prow.lo[r] * W;
+      const uint8_t* b0 = f0 + (size_t)prow.hi[r] * W;
+      const uint8_t* b1 = f1 + (size_t)prow.hi[r] * W;
+      const float wr = prow.w[r];
+      float* dst = rowbuf.data() + (size_t)r * W;
+      for (int c = 0; c < W; ++c) {
+        const uint8_t ga = lut[a0[c]] > lut[a1[c]] ? lut[a0[c]] : lut[a1[c]];
+        const uint8_t gb = lut[b0[c]] > lut[b1[c]] ? lut[b0[c]] : lut[b1[c]];
+        dst[c] = (1.f - wr) * (float)ga + wr * (float)gb;
+      }
+    }
+    uint8_t* o = out + per_out * i;
+    for (int r = 0; r < out_h; ++r) {
+      const float* src = rowbuf.data() + (size_t)r * W;
+      for (int c = 0; c < out_w; ++c) {
+        const float v =
+            (1.f - pcol.w[c]) * src[pcol.lo[c]] + pcol.w[c] * src[pcol.hi[c]];
+        const float q = v + 0.5f;
+        o[(size_t)r * out_w + c] = (uint8_t)(q > 255.f ? 255.f : q);
+      }
+    }
   });
 }
 

@@ -56,6 +56,15 @@ void nevo_observe(void* handle, const int* indices, int n, uint8_t* out);
 void nevo_set_gray_lut(void* handle, const uint8_t* lut256);
 void nevo_observe_gray(void* handle, const int* indices, int n, uint8_t* out);
 
+// Full-preprocess observation path: LUT grayscale → 2-frame max →
+// align-corners bilinear resize to [out_h, out_w] → uint8, emitted as
+// out[n, out_h, out_w]. Same math the device runs in preprocess_gray_frames
+// (tf_atari.py:90-94), quantized at the end; ships ~10× fewer bytes over
+// the host→device link, which dominates rollout steps on relay/tunnel
+// hosts (~40 MB/s measured). Requires the gray LUT to be installed.
+void nevo_observe_preproc(void* handle, const int* indices, int n, int out_h,
+                          int out_w, uint8_t* out);
+
 // Behavior characterization / final state (RAM bytes as floats,
 // tf_atari.cpp:114-119) into out[n, final_state_size].
 void nevo_final_state(void* handle, const int* indices, int n, float* out);

@@ -255,6 +255,10 @@ def rollout_host_vec(
     over *raw* observations (policies.py:279-281 save_obs collects
     pre-normalization obs), BC from the env's mass-center tracking."""
     B = henv.batch_size
+    sub = None
+    if n_slots is not None and n_slots < B:
+        B = max(int(n_slots), 1)
+        sub = np.arange(B, dtype=np.int32)
     prep = getattr(act_fn, "prepare", None)
     if prep is not None:
         params = prep(params)

@@ -349,11 +349,11 @@ if __name__ == "__main__":
             return LargeDQN(num_actions=18, compute_dtype="bfloat16", **kw)
 
         import deep_neuroevolution_tpu.models.batchnorm  # noqa: F401
-        # B>=384 at 4.05M f32 params OOMs 16 GB HBM during theta
-        # init/prepare (f32 stack + bf16 parts + the fused-layout transpose
-        # live together inside one jit)
+        # r5: chunked member synthesis+prepare removed the >=384 OOM (no
+        # full f32 theta-stack ever exists — see bench_conv_population);
+        # the sweep now covers the whole HBM-feasible batch axis
         conv, dim = bench_conv_population(
-            batch_sizes=(64, 256), model_factory=mk
+            batch_sizes=(64, 256, 384, 512), model_factory=mk
         )
         print(json.dumps({"conv_large": {str(k): v for k, v in conv.items()}, "large_dqn_params": dim}))
     elif args.only == "conv_indexed":

@@ -69,6 +69,14 @@ class ESConfig:
     population_size: int = 0  # offspring (episodes) per generation when quotas unset
     #   — counts episodes like the GPU stack's population_size (gpu es.py:197)
     eval_batch: int = 0  # antithetic pairs evaluated per device round
+    # mirrored sampling with common random numbers (host engines, opt-in):
+    # θ+σε and θ−σε share the episode's env stream (noops + engine seed +
+    # rollout key), so the pair difference isolates the perturbation effect
+    # instead of episode luck. An extension beyond the reference — its
+    # pop-5000 fleets average luck out (es.py:230-265); essential for small
+    # populations on stochastic engines (1-episode fitness noise swamps the
+    # σ-effect otherwise).
+    mirror_crn: bool = False
     num_eval_episodes: int = 8  # noiseless eval episodes per generation
     grad_chunk: int = 256  # streaming chunk for the gradient gather-matmul
     theta_hbm_budget: int = 2**31  # bytes allowed for the [2·npairs, D] θ±σε
@@ -557,6 +565,7 @@ class ESTrainer:
             params,
             key,
             int(self.cutoff.tslimit),
+            mirror_pairs=cfg.mirror_crn,
             collect_obstat=self.model.needs_ob_stat and cfg.calc_obstat_prob > 0,
             # reference-faithful per-rollout Bernoulli sampling when 0<p<1
             # (es.py:356-363); p >= 1 accumulates every rollout

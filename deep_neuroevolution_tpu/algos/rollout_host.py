@@ -103,8 +103,18 @@ def rollout_host_batch(
     obstat_prob: Optional[float] = None,
     obstat_valid: Optional[np.ndarray] = None,
     n_slots: Optional[int] = None,
+    mirror_pairs: bool = False,
 ) -> RolloutResult:
     """Evaluate B policies on the B host-engine slots, one episode each.
+
+    `mirror_pairs` (opt-in): rows i and i+B/2 share the environment's
+    random stream — same noop count, same engine episode seed, same
+    rollout key. With the antithetic [θ+σε block; θ−σε block] layout this
+    is mirrored sampling with common random numbers: the pair's fitness
+    DIFFERENCE isolates the perturbation effect instead of episode luck.
+    An extension beyond the reference (its pop-5000 fleets average luck
+    out, es.py:230-265); OFF by default — the default path is
+    bit-identical to r4.
 
     `n_slots` runs only slots [0, n): eval passes harvest a handful of
     noiseless episodes (es.py:388-405) and stepping all 256 engine slots —
@@ -133,7 +143,14 @@ def rollout_host_batch(
     Bg = B // G
     seed = int(jax.random.randint(key, (), 0, 2**31 - 1))
     rng = np.random.default_rng(seed)
-    if noops is None:
+    ep_seeds = None
+    if mirror_pairs:
+        assert B % 2 == 0, "mirror_pairs needs an even slot count"
+        half = B // 2
+        if noops is None:
+            noops = np.tile(rng.integers(1, 31, size=half), 2)
+        ep_seeds = np.tile(rng.integers(1, 2**31 - 1, size=half, dtype=np.int64), 2).astype(np.int32)
+    elif noops is None:
         noops = rng.integers(1, 31, size=B)  # tf_atari.py:65
     # per-ROLLOUT Bernoulli obs-stat sampling (es.py:356-363: the worker
     # draws rs.rand() < calc_obstat_prob once per rollout)
@@ -148,11 +165,19 @@ def rollout_host_batch(
         # Bernoulli draw so the RNG stream (and thus bit-identity across
         # emulated vs real pod runs) is unchanged.
         obstat_mask &= np.asarray(obstat_valid, bool)
-    henv.reset(indices=sub, noops=noops, max_frames=timestep_limit * 4)
+    if ep_seeds is not None:
+        henv.reset(indices=sub, noops=noops, max_frames=timestep_limit * 4,
+                   seeds=ep_seeds)
+    else:
+        henv.reset(indices=sub, noops=noops, max_frames=timestep_limit * 4)
     mode = getattr(henv, "obs_mode", "indexed")
 
     frames0 = henv.observe(indices=sub) if sub is not None else henv.observe()
-    keys = jax.random.split(key, B)
+    if mirror_pairs:
+        half_keys = jax.random.split(key, B // 2)
+        keys = jnp.concatenate([half_keys, half_keys], axis=0)
+    else:
+        keys = jax.random.split(key, B)
     sls = [slice(g * Bg, (g + 1) * Bg) for g in range(G)]
     gidx = [np.arange(g * Bg, (g + 1) * Bg, dtype=np.int32) for g in range(G)]
     prep = getattr(act_fn, "prepare", None)
@@ -328,6 +353,7 @@ def rollout_host(
     obstat_prob: Optional[float] = None,
     obstat_valid: Optional[np.ndarray] = None,
     n_slots: Optional[int] = None,
+    mirror_pairs: bool = False,
 ) -> RolloutResult:
     """Dispatch on the host env's observation kind: 'image' engines
     (Atari/ALE, preprocess+stack on device) vs 'vector' engines (MuJoCo)."""
@@ -349,6 +375,7 @@ def rollout_host(
         obstat_prob=obstat_prob,
         obstat_valid=obstat_valid,
         n_slots=n_slots,
+        mirror_pairs=mirror_pairs,
     )
 
 

@@ -130,8 +130,9 @@ class AtariEnv:
         self.pipeline_groups = pipeline_groups
 
     # batched host interface consumed by rollout_host_batch
-    def reset(self, indices=None, noops=None, max_frames: int = DEFAULT_TIMESTEP_CUTOFF):
-        self._env.reset(indices=indices, noops=noops, max_frames=max_frames)
+    def reset(self, indices=None, noops=None, max_frames: int = DEFAULT_TIMESTEP_CUTOFF,
+              seeds=None):
+        self._env.reset(indices=indices, noops=noops, max_frames=max_frames, seeds=seeds)
 
     def step(self, actions: np.ndarray, indices=None):
         return self._env.step(actions, indices=indices)

@@ -46,6 +46,11 @@ def _load(path: Optional[str] = None):
         if lib.nevo_has_gray:  # absent in pre-r3 .so builds
             lib.nevo_set_gray_lut.argtypes = [ctypes.c_void_p, u8ptr]
             lib.nevo_observe_gray.argtypes = [ctypes.c_void_p, iptr, ctypes.c_int, u8ptr]
+        lib.nevo_has_seeded = hasattr(lib, "nevo_reset_seeded")
+        if lib.nevo_has_seeded:  # absent in pre-r5 .so builds
+            lib.nevo_reset_seeded.argtypes = [
+                ctypes.c_void_p, iptr, iptr, iptr, iptr, ctypes.c_int,
+            ]
         lib.nevo_has_preproc = hasattr(lib, "nevo_observe_preproc")
         if lib.nevo_has_preproc:  # absent in pre-r5 .so builds
             lib.nevo_observe_preproc.argtypes = [
@@ -97,6 +102,7 @@ class HostBatchEnv:
         indices: Optional[np.ndarray] = None,
         noops: Optional[np.ndarray] = None,
         max_frames: int = 100_000,
+        seeds: Optional[np.ndarray] = None,
     ) -> None:
         idx = self._all if indices is None else np.ascontiguousarray(indices, np.int32)
         if noops is None:
@@ -104,7 +110,18 @@ class HostBatchEnv:
             noops = np.random.randint(1, 31, size=idx.size)
         noops = np.ascontiguousarray(noops, np.int32)
         mf = np.full(idx.size, max_frames, np.int32)
-        self._lib.nevo_reset(self._h, idx, noops, mf, idx.size)
+        if seeds is not None:
+            # per-slot episode-RNG seeds: mirrored antithetic pairs share
+            # the env stream (common random numbers; nevo_reset_seeded)
+            if not getattr(self._lib, "nevo_has_seeded", False):
+                raise RuntimeError(
+                    "this engine .so predates seeded resets; rebuild with "
+                    "`python -m deep_neuroevolution_tpu.native.build`"
+                )
+            sd = np.ascontiguousarray(seeds, np.int32)
+            self._lib.nevo_reset_seeded(self._h, idx, noops, mf, sd, idx.size)
+        else:
+            self._lib.nevo_reset(self._h, idx, noops, mf, idx.size)
 
     def step(self, actions: np.ndarray, indices: Optional[np.ndarray] = None):
         idx = self._all if indices is None else np.ascontiguousarray(indices, np.int32)

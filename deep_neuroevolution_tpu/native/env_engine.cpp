@@ -94,6 +94,13 @@ class Backend {
  public:
   virtual ~Backend() = default;
   virtual void reset(int idx, int noops, int max_frames) = 0;
+  // seeded variant: pin the slot's episode RNG stream (mirrored-pair common
+  // random numbers — antithetic members share serves). Default: ignore the
+  // seed (backends whose randomness rides the noop count, like ALE).
+  virtual void reset_seeded(int idx, int noops, int max_frames, uint32_t seed) {
+    (void)seed;
+    reset(idx, noops, max_frames);
+  }
   virtual float step(int idx, int action) = 0;  // frameskip-accumulated
   virtual bool is_done(int idx) = 0;
   virtual void observe(int idx, uint8_t* out) = 0;  // [frames, H, W]
@@ -124,11 +131,26 @@ class ToyCatch : public Backend {
  public:
   static constexpr int H = 210, W = 160, RAM = 128, SKIP = 4;
 
+ private:
+  struct Slot;  // defined below; reset_common needs the name early
+
+ public:
   explicit ToyCatch(int batch) : slots_(batch) {}
+
+  void reset_seeded(int idx, int noops, int max_frames, uint32_t seed) override {
+    Slot& s = slots_[idx];
+    s.rng.seed(seed ? seed : (0x9E3779B9u ^ (uint32_t)idx));
+    reset_common(s, noops, max_frames);
+  }
 
   void reset(int idx, int noops, int max_frames) override {
     Slot& s = slots_[idx];
     s.rng.seed(0x9E3779B9u ^ (uint32_t)idx);  // per-slot stream; reseeded by noops below
+    reset_common(s, noops, max_frames);
+  }
+
+ private:
+  void reset_common(Slot& s, int noops, int max_frames) {
     s.frame = 0;
     s.score_events = 0;
     s.lives = 3;
@@ -146,6 +168,7 @@ class ToyCatch : public Backend {
     s.game_over = false;
   }
 
+ public:
   float step(int idx, int action) override {
     Slot& s = slots_[idx];
     float rew = 0.f;
@@ -450,6 +473,25 @@ void nevo_reset(void* h, const int* indices, const int* noops, const int* max_fr
       e->backend->step(idx, 0);
     } else {
       e->backend->reset(idx, noops[i], max_frames[i]);
+    }
+    e->last_lives[idx] = e->backend->lives(idx);
+  });
+}
+
+void nevo_reset_seeded(void* h, const int* indices, const int* noops,
+                       const int* max_frames, const int* seeds, int n) {
+  // Like nevo_reset, with per-slot episode-RNG seeds: antithetic members
+  // given the same (noops, seed) replay the same environment stream, so
+  // their fitness DIFFERENCE isolates the perturbation effect (mirrored
+  // sampling with common random numbers — an opt-in extension beyond the
+  // reference, whose pop-5000 fleets average the luck noise out instead).
+  auto* e = static_cast<Engine*>(h);
+  e->pool->parallel_for(n, [&](int i) {
+    const int idx = indices[i];
+    if (e->episodic_life && !e->backend->is_done(idx) && e->last_lives[idx] > 0) {
+      e->backend->step(idx, 0);
+    } else {
+      e->backend->reset_seeded(idx, noops[i], max_frames[i], (uint32_t)seeds[i]);
     }
     e->last_lives[idx] = e->backend->lives(idx);
   });

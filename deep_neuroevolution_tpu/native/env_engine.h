@@ -36,6 +36,13 @@ int nevo_final_state_size(void* handle);  // RAM_SIZE analog (tf_atari.cpp:114-1
 void nevo_reset(void* handle, const int* indices, const int* noops,
                 const int* max_frames, int n);
 
+// Seeded reset: per-slot episode-RNG seeds so mirrored (antithetic) pairs
+// can share the environment's random stream (common-random-numbers variance
+// reduction, opt-in). Backends whose randomness rides the noop count (ALE)
+// ignore the seed.
+void nevo_reset_seeded(void* handle, const int* indices, const int* noops,
+                       const int* max_frames, const int* seeds, int n);
+
 // Step slots: frameskip-accumulated reward + done flags
 // (tf_env.cpp:238-318 EnvironmentStep; tf_atari.cpp:64-81).
 void nevo_step(void* handle, const int* indices, const int* actions, int n,

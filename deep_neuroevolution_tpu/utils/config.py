@@ -219,6 +219,7 @@ def load_experiment(
                 population_size=int(exp["population_size"]),
                 return_proc_mode=exp.get("return_proc_mode", "centered_rank"),
                 episode_cutoff_mode=exp.get("episode_cutoff_mode", "env_default"),
+                mirror_crn=bool(overrides.get("mirror_crn", exp.get("mirror_crn", False))),
                 **{k: overrides[k] for k in ("eval_batch", "num_eval_episodes", "grad_chunk") if k in overrides},
             )
             tr = pick_trainer(ESTrainer, env)(
@@ -287,6 +288,7 @@ def load_experiment(
             snapshot_freq=int(c.get("snapshot_freq", 0)),
             return_proc_mode=c.get("return_proc_mode", "centered_rank"),
             episode_cutoff_mode=c.get("episode_cutoff_mode", "env_default"),
+            mirror_crn=bool(overrides.get("mirror_crn", c.get("mirror_crn", False))),
             **{k: overrides[k] for k in ("eval_batch", "num_eval_episodes", "grad_chunk") if k in overrides},
         )
         tr = pick_trainer(ESTrainer, env)(

@@ -550,3 +550,95 @@ class TestEnginePreprocPath:
                 env.close()
         np.testing.assert_array_equal(results["gray"][0], results["preproc"][0])
         np.testing.assert_allclose(results["gray"][1], results["preproc"][1])
+
+
+class TestMirrorCRN:
+    """Mirrored sampling with common random numbers (opt-in r5 extension):
+    antithetic pair members share the episode's env stream so their fitness
+    difference isolates the perturbation effect (the reference's pop-5000
+    fleets average episode luck out instead; at small populations the
+    1-episode fitness noise swamps the σ-effect)."""
+
+    def test_seeded_reset_pins_episode_stream(self):
+        from deep_neuroevolution_tpu.native.bridge import HostBatchEnv
+
+        e = HostBatchEnv("toy", "", 4, num_threads=1)
+        try:
+            # same (noops, seed) on all 4 slots → identical frames forever
+            e.reset(noops=np.array([5, 5, 5, 5]),
+                    seeds=np.array([1234, 1234, 1234, 1234]), max_frames=1000)
+            for a in (1, 2, 3, 2, 1):
+                e.step(np.array([a] * 4, np.int32))
+            obs = e.observe()
+            for i in (1, 2, 3):
+                np.testing.assert_array_equal(obs[0], obs[i])
+            # different seeds → streams diverge after the serve
+            e.reset(noops=np.array([5, 5, 5, 5]),
+                    seeds=np.array([1234, 99, 1234, 7]), max_frames=1000)
+            for _ in range(10):
+                e.step(np.array([1] * 4, np.int32))
+            obs = e.observe()
+            np.testing.assert_array_equal(obs[0], obs[2])
+            assert (obs[0] != obs[1]).any()
+        finally:
+            e.close()
+
+    def test_mirror_pairs_equal_env_for_equal_policies(self):
+        """With mirror_pairs=True and IDENTICAL thetas in both halves, the
+        two halves must produce identical returns and lengths (same serves,
+        same noops, same keys) — the property that makes the pair difference
+        luck-free."""
+        from deep_neuroevolution_tpu.algos.rollout_host import rollout_host_batch
+        from deep_neuroevolution_tpu.envs.atari import AtariEnv
+        from deep_neuroevolution_tpu.models import SmallDQN
+
+        env = AtariEnv("toy", batch_size=8, num_threads=1, pipeline_groups=1)
+        try:
+            model = SmallDQN(num_actions=env.num_actions)
+            half = jax.vmap(model.init_theta)(jax.random.split(jax.random.PRNGKey(0), 4))
+            thetas = jnp.concatenate([half, half])  # θ+ block == θ− block
+            res = rollout_host_batch(
+                env, model.make_batch_act(), (thetas, None),
+                jax.random.PRNGKey(5), 20, out_hw=env.warp_size,
+                mirror_pairs=True,
+            )
+            r = np.asarray(res.returns)
+            l = np.asarray(res.lengths)
+            np.testing.assert_array_equal(r[:4], r[4:])
+            np.testing.assert_array_equal(l[:4], l[4:])
+            # and WITHOUT mirroring the halves see different episodes —
+            # different slot streams serve different balls, so the final
+            # RAM states (paddle/ball positions) diverge
+            res2 = rollout_host_batch(
+                env, model.make_batch_act(), (thetas, None),
+                jax.random.PRNGKey(5), 60, out_hw=env.warp_size,
+                mirror_pairs=False,
+            )
+            bc2 = np.asarray(res2.bc)
+            assert (bc2[:4] != bc2[4:]).any()
+        finally:
+            env.close()
+
+    def test_es_trainer_mirror_crn_smoke(self):
+        """ESConfig(mirror_crn=True) runs a host-engine generation e2e."""
+        from deep_neuroevolution_tpu.algos.es import ESConfig, ESTrainer
+        from deep_neuroevolution_tpu.envs.atari import AtariEnv
+        from deep_neuroevolution_tpu.models import SmallDQN
+        from deep_neuroevolution_tpu.ops import Adam, NoiseTable
+        from deep_neuroevolution_tpu.utils import tabular
+
+        tabular.dump_tabular = lambda: tabular._logger._kvs.clear()
+        env = AtariEnv("toy", batch_size=8, num_threads=1, pipeline_groups=1)
+        try:
+            model = SmallDQN(num_actions=env.num_actions)
+            cfg = ESConfig(noise_stdev=0.05, population_size=8,
+                           num_eval_episodes=2, episode_cutoff_mode=15,
+                           mirror_crn=True)
+            tr = ESTrainer(env, model, cfg, optimizer=Adam(stepsize=0.05),
+                           noise_table=NoiseTable.from_seed(count=2_000_000),
+                           seed=0)
+            st = tr.train_step()
+            assert np.isfinite(st.update_ratio)
+            assert st.returns.shape[1] == 2
+        finally:
+            env.close()

@@ -898,6 +898,9 @@ class ESTrainer:
         tlogger.record_tabular("EpRewMean", returns_n2.mean())
         tlogger.record_tabular("EpRewStd", returns_n2.std())
         tlogger.record_tabular("EpLenMean", lengths_n2.mean())
+        # reference name gpu_implementation/es.py:208 — makes the adaptive
+        # cutoff DSL's bumps visible in the per-generation metric stream
+        tlogger.record_tabular("TimestepLimitPerEpisode", int(self.cutoff.tslimit))
         tlogger.record_tabular("EvalEpRewMean", np.nan if eval_rets.size == 0 else eval_rets.mean())
         tlogger.record_tabular("EvalEpRewMedian", np.nan if eval_rets.size == 0 else np.median(eval_rets))
         tlogger.record_tabular("EvalEpRewStd", np.nan if eval_rets.size == 0 else eval_rets.std())

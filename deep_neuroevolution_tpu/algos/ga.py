@@ -559,6 +559,9 @@ class GATrainer:
 
         tlogger.record_tabular("Iteration", st.it)
         tlogger.record_tabular("MutationPower", power)
+        # reference name gpu_implementation/es.py:208 (ga.py logs the same
+        # state); surfaces the adaptive cutoff DSL's bumps per generation
+        tlogger.record_tabular("TimestepLimitPerEpisode", int(self.cutoff.tslimit))
         tlogger.record_tabular("PopulationEpRewMax", float(rewards.max()))
         tlogger.record_tabular("PopulationEpRewMean", float(rewards.mean()))
         tlogger.record_tabular("PopulationEpCount", int(rewards.size))

@@ -25,6 +25,19 @@ def load(log_dir):
     return [json.loads(ln) for ln in open(path)]
 
 
+def cutoff_bumps(log_dir):
+    """Adaptive-cutoff DSL activity from log.txt ('Increased timestep limit
+    from X to Y' lines, es.py:113-116) — evidence the curriculum fired even
+    in runs whose metrics predate the TimestepLimitPerEpisode row."""
+    path = os.path.join(REPO, log_dir, "log.txt")
+    bumps = []
+    if os.path.exists(path):
+        for ln in open(path):
+            if "Increased timestep limit" in ln:
+                bumps.append(ln.split("]")[-1].strip())
+    return bumps
+
+
 def assemble_es(out="results/toy_es_curve_r05.json"):
     rows = load("results/toy_es_campaign")
     curve = [r.get("EpRewMean") for r in rows]
@@ -41,7 +54,8 @@ def assemble_es(out="results/toy_es_curve_r05.json"):
         "eval_reward": ev,
         "ep_len": [r.get("EpLenMean") for r in rows],
         "eval_pop_rank": [r.get("EvalPopRank") for r in rows],
-        "tslimit": [r.get("TimestepLimit") for r in rows],
+        "tslimit": [r.get("TimestepLimitPerEpisode") for r in rows],
+        "cutoff_bumps": cutoff_bumps("results/toy_es_campaign"),
         "s_per_gen": [r.get("TimeElapsedThisIter") for r in rows],
         "random_baseline_first5": base,
         "final_mean_last5": last5,
@@ -74,6 +88,8 @@ def assemble_ga(out="results/toy_ga_curve_r05.json"):
         "pop_reward_max": pop_max,
         "truncated_parent_mean": trunc,
         "elite_test_reward": test,
+        "tslimit": [r.get("TimestepLimitPerEpisode") for r in rows],
+        "cutoff_bumps": cutoff_bumps("results/toy_ga_campaign"),
         "s_per_gen": [r.get("TimeElapsedThisIter") for r in rows],
         "random_baseline_first5": base,
         "final_mean_last5": last5,

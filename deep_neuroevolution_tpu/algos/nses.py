@@ -36,7 +36,7 @@ import numpy as np
 from ..envs.core import Env
 from ..models.core import Model
 from ..ops import fitness, novelty, obstat, optim
-from ..ops.noise import NoiseTable
+from ..ops.noise import NoiseTable, VirtualNoise
 from ..utils import tabular as tlogger
 from .es import ESConfig, parse_cutoff, update_cutoff
 from .rollout import rollout_batch
@@ -83,11 +83,16 @@ def _perturbed_eval_with_bc(
     ref_batch=None,
     collect_obstat: bool = False,
 ):
-    """Antithetic eval where each rollout also yields (BC, novelty)."""
+    """Antithetic eval where each rollout also yields (BC, novelty).
+
+    `table` is the raw [N] table buffer or a VirtualNoise source — rows come
+    through the same dispatch the ES kernels use (es.py:171-174)."""
+    from ..ops.noise import noise_rows, sample_source_idxs
+
     dim = theta.shape[0]
     kidx, kroll = jax.random.split(key)
-    idxs = jax.random.randint(kidx, (npairs,), 0, table.shape[0] - dim + 1, dtype=jnp.int32)
-    eps = jax.vmap(lambda i: jax.lax.dynamic_slice(table, (i,), (dim,)))(idxs)
+    idxs = sample_source_idxs(table, kidx, dim, npairs, False)
+    eps = noise_rows(table, idxs, dim)
     thetas = jnp.concatenate([theta[None] + sigma * eps, theta[None] - sigma * eps])
     if model.needs_ref_batch:
         stats = model.batch_ref_stats(thetas, ref_batch)
@@ -188,11 +193,6 @@ class NSESTrainer:
         self.model = model
         self.config = config
         self.optimizer = optimizer or optim.Adam(stepsize=0.01)
-        from ..ops.noise import VirtualNoise
-
-        assert not isinstance(noise_table, VirtualNoise), (
-            "VirtualNoise is wired for ES only: NS-ES reuses the ES table machinery (nses.py:342-344)"
-        )
         self.noise = noise_table or NoiseTable.from_seed()
         assert self.noise.size > model.num_params, (
             f"noise table ({self.noise.size}) must exceed num_params ({model.num_params})"
@@ -241,6 +241,14 @@ class NSESTrainer:
     def _next_key(self):
         self.key, k = jax.random.split(self.key)
         return k
+
+    @property
+    def _table_arg(self):
+        """What the kernels receive: the raw [N] buffer for a materialized
+        NoiseTable, or the VirtualNoise pytree itself — the ES dispatch
+        (es.py noise_rows/sample_source_idxs/gradient_from_noise) regenerates
+        rows counter-based for the latter, so NS-ES runs table-free too."""
+        return self.noise if isinstance(self.noise, VirtualNoise) else self.noise.noise
 
     # ------------------------------------------------- archive abstraction
     # device Archive array (final-state BCs) vs host list (ragged RAM
@@ -299,7 +307,7 @@ class NSESTrainer:
         cfg = self.config
         npairs = min(npairs, self.env.batch_size // 2)
         idxs, thetas = _make_antithetic(
-            theta, self.noise.noise, key, npairs, jnp.asarray(cfg.noise_stdev, jnp.float32)
+            theta, self._table_arg, key, npairs, jnp.asarray(cfg.noise_stdev, jnp.float32)
         )
         # under-filled rounds (e.g. a host-pod sub-round whose population
         # share is below the slot count) pad to the engine's B slots with the
@@ -394,7 +402,7 @@ class NSESTrainer:
                     self.env,
                     self.model,
                     parent.theta,
-                    self.noise.noise,
+                    self._table_arg,
                     self._next_key(),
                     jnp.asarray(self.cutoff.tslimit, jnp.int32),
                     npairs,
@@ -415,7 +423,7 @@ class NSESTrainer:
             proc = (rew_ranks + proc) / 2.0
         w = proc[:, 0] - proc[:, 1]
         g = fitness.gradient_from_noise(
-            self.noise.noise, idxs, w, self.model.num_params, cfg.grad_chunk
+            self._table_arg, idxs, w, self.model.num_params, cfg.grad_chunk
         )
         g = g / returns_n2.size
         opt_state, theta, ratio = self.optimizer.update(

@@ -269,3 +269,34 @@ class TestHostPodNSES:
             assert np.isfinite(out["update_ratio"])
         finally:
             env.close()
+
+
+class TestNSESVirtualNoise:
+    def test_nses_runs_and_explores_on_virtual_noise(self):
+        """VirtualNoise drives the full NSESTrainer (closing the r4 guarded
+        scope): perturbations, the novelty-ranked gradient, and the archive
+        machinery all regenerate rows counter-based — no HBM table. Maze is
+        the headline NS-ES domain (maze_nses.json)."""
+        _silence()
+        from deep_neuroevolution_tpu.ops.noise import VirtualNoise
+
+        env = MazeEnv()
+        model = ContinuousMLP(obs_dim=11, ac_dim=2, hidden=8)
+        cfg = NSESConfig(
+            noise_stdev=0.05, population_size=32, algo_type="ns", k=5,
+            meta_population_size=2, num_rollouts=1,
+            selection_method="round_robin", archive_capacity=256,
+            episode_cutoff_mode=100,
+        )
+        tr = NSESTrainer(env, model, cfg,
+                         noise_table=VirtualNoise.from_seed(count=200_000), seed=0)
+        assert int(tr.archive.count) == 2
+        theta_before = np.asarray(tr.parents[0].theta)
+        out = tr.train_step()
+        assert not np.allclose(np.asarray(tr.parents[0].theta), theta_before)
+        assert int(tr.archive.count) == 3
+        assert np.all(out["novelty"] >= 0) and np.isfinite(out["update_ratio"])
+        # second parent's iteration exercises the parent rotation on the
+        # virtual source too
+        out2 = tr.train_step()
+        assert out2["parent"] == 1

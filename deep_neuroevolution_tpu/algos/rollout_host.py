@@ -153,11 +153,19 @@ def rollout_host_batch(
     elif noops is None:
         noops = rng.integers(1, 31, size=B)  # tf_atari.py:65
     # per-ROLLOUT Bernoulli obs-stat sampling (es.py:356-363: the worker
-    # draws rs.rand() < calc_obstat_prob once per rollout)
+    # draws rs.rand() < obstat_prob once per rollout)
     obstat_mask = (
         rng.random(B) < obstat_prob if (collect_obstat and obstat_prob is not None)
         else np.ones(B, bool)
     )
+    if ep_seeds is None and getattr(getattr(henv, "_env", None), "_lib", None) is not None and \
+            getattr(henv._env._lib, "nevo_has_seeded", False):
+        # fresh per-episode engine seeds every call (drawn at the END of the
+        # host rng stream so noop/obstat draws stay identical to the r4
+        # path): without them, backends whose episode randomness is consumed
+        # only at discrete events replay near-identical episodes for equal
+        # noop counts — eval curves then quantize to a fixed episode set
+        ep_seeds = rng.integers(1, 2**31 - 1, size=B, dtype=np.int64).astype(np.int32)
     if obstat_valid is not None:
         # padded duplicate slots (under-filled host-pod sub-rounds) must not
         # bias the obs moments toward the repeated member — the reference

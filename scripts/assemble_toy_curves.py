@@ -79,7 +79,7 @@ def assemble_es(out="results/toy_es_curve_r05.json"):
         json.dump(art, f, indent=1)
     print(json.dumps({k: art[k] for k in (
         "generations", "random_baseline_first5", "final_mean_last5",
-        "best_eval", "clearly_above_chance")}))
+        "best_eval", "improvement_sigma", "clearly_above_chance")}))
 
 
 def assemble_ga(out="results/toy_ga_curve_r05.json"):

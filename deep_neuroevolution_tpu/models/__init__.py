@@ -36,4 +36,10 @@ def get_model(name: str):
     REGISTRY.setdefault("ESAtariPolicy", batchnorm.VirtualBNDQN)
     REGISTRY.setdefault("ModelVirtualBN", batchnorm.VirtualBNDQN)
     REGISTRY.setdefault("ModelBN", batchnorm.BNDQN)
+    # actual class names too: policy snapshots record type(model).__name__
+    # (utils/checkpoint.py save_policy_snapshot), so replay must resolve them
+    REGISTRY.setdefault("VirtualBNDQN", batchnorm.VirtualBNDQN)
+    REGISTRY.setdefault("BNDQN", batchnorm.BNDQN)
+    REGISTRY.setdefault("SmallDQNXavier", SmallDQNXavier)
+    REGISTRY.setdefault("LargeDQNXavier", LargeDQNXavier)
     return REGISTRY[name]

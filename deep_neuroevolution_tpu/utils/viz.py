@@ -55,18 +55,28 @@ def replay_policy(
             params = (thetas, _mlp_ctx())
         else:
             params = (thetas, None)
-        res = rollout_host(
-            env,
-            model.make_batch_act(),
-            params,
-            jax.random.PRNGKey(seed),
-            env.default_timestep_cutoff,
-        )
-        rets = np.asarray(res.returns)[:episodes]
-        lens = np.asarray(res.lengths)[:episodes]
+        # episodes may exceed the engine's slot count: roll ceil(E/B) rounds
+        # with per-round keys (each round = fresh noops/episode seeds)
+        B = env.batch_size
+        rets_l, lens_l, traj_l = [], [], []
+        key = jax.random.PRNGKey(seed)
+        for _ in range(-(-episodes // B)):
+            key, kround = jax.random.split(key)
+            res = rollout_host(
+                env,
+                model.make_batch_act(),
+                params,
+                kround,
+                env.default_timestep_cutoff,
+            )
+            rets_l.append(np.asarray(res.returns))
+            lens_l.append(np.asarray(res.lengths))
+            traj_l.append(np.asarray(res.bc))
+        rets = np.concatenate(rets_l)[:episodes]
+        lens = np.concatenate(lens_l)[:episodes]
         # vector engines (MuJoCo) expose the BC — for bc_mode='traj' that IS
         # the x-y trajectory (policies.py:293-299); save it for offline view
-        traj = np.asarray(res.bc)[:episodes]
+        traj = np.concatenate(traj_l)[:episodes]
     else:
         from ..algos.rollout import rollout_batch_scan
 

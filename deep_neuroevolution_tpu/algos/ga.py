@@ -424,7 +424,11 @@ class GATrainer:
         dim = self.model.num_params
         is_host = getattr(self.env, "is_host_env", False)
         cap = max(1, int(cfg.theta_hbm_budget) // (dim * 4))
-        chunk = min(self.env.batch_size, n) if is_host else min(cfg.eval_batch or n, cap, n)
+        # host path honors the HBM budget too: synthesis + the fused-forward
+        # weight prep keep ~3x the [chunk, D] f32 stack live, and LargeDQN at
+        # 256 engine slots exceeds the chip's free HBM (_eval_host pads each
+        # sub-chunk to a power-of-two slot bucket, so partial rounds are fine)
+        chunk = min(self.env.batch_size, cap, n) if is_host else min(cfg.eval_batch or n, cap, n)
         n_rounds = -(-n // chunk)
         if is_host:
             pidx_l, midx_l, rets_l, lens_l, bcs_l = [], [], [], [], []

@@ -220,7 +220,7 @@ def load_experiment(
                 return_proc_mode=exp.get("return_proc_mode", "centered_rank"),
                 episode_cutoff_mode=exp.get("episode_cutoff_mode", "env_default"),
                 mirror_crn=bool(overrides.get("mirror_crn", exp.get("mirror_crn", False))),
-                **{k: overrides[k] for k in ("eval_batch", "num_eval_episodes", "grad_chunk") if k in overrides},
+                **{k: overrides[k] for k in ("eval_batch", "num_eval_episodes", "grad_chunk", "theta_hbm_budget") if k in overrides},
             )
             tr = pick_trainer(ESTrainer, env)(
                 env,
@@ -253,7 +253,7 @@ def load_experiment(
             mutation_power=exp.get("mutation_power", 0.002),
             episode_cutoff_mode=exp.get("episode_cutoff_mode", "env_default"),
             timesteps=float(exp.get("timesteps", 1e9)),
-            **{k: overrides[k] for k in ("eval_batch",) if k in overrides},
+            **{k: overrides[k] for k in ("eval_batch", "theta_hbm_budget") if k in overrides},
         )
         ctor = pick_trainer(RSTrainer if algo == "rs" else GATrainer, env)
         tr = ctor(env, model, cfg, noise_table=noise_table, seed=seed)
@@ -289,7 +289,7 @@ def load_experiment(
             return_proc_mode=c.get("return_proc_mode", "centered_rank"),
             episode_cutoff_mode=c.get("episode_cutoff_mode", "env_default"),
             mirror_crn=bool(overrides.get("mirror_crn", c.get("mirror_crn", False))),
-            **{k: overrides[k] for k in ("eval_batch", "num_eval_episodes", "grad_chunk") if k in overrides},
+            **{k: overrides[k] for k in ("eval_batch", "num_eval_episodes", "grad_chunk", "theta_hbm_budget") if k in overrides},
         )
         tr = pick_trainer(ESTrainer, env)(
             env,
@@ -323,7 +323,7 @@ def load_experiment(
             validation_threshold=int(exp.get("validation_threshold", 0)),
             num_validation_episodes=int(exp.get("num_validation_episodes", 0)),
             num_test_episodes=int(exp.get("num_test_episodes", 0)),
-            **{k: overrides[k] for k in ("eval_batch",) if k in overrides},
+            **{k: overrides[k] for k in ("eval_batch", "theta_hbm_budget") if k in overrides},
         )
         ctor = pick_trainer(RSTrainer if algo == "rs" else GATrainer, env)
         return ctor(env, model, cfg, noise_table=noise_table, seed=seed)

@@ -21,8 +21,13 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def load(log_dir):
+    """Rows of metrics.jsonl, from the LAST Iteration==1 row onward: a
+    crashed launch appends its partial generations to the same file, and a
+    restart (not --resume) begins again at Iteration 1."""
     path = os.path.join(REPO, log_dir, "metrics.jsonl")
-    return [json.loads(ln) for ln in open(path)]
+    rows = [json.loads(ln) for ln in open(path)]
+    starts = [i for i, r in enumerate(rows) if r.get("Iteration") == 1]
+    return rows[starts[-1]:] if starts else rows
 
 
 def cutoff_bumps(log_dir):

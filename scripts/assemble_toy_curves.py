@@ -27,7 +27,13 @@ def load(log_dir):
     path = os.path.join(REPO, log_dir, "metrics.jsonl")
     rows = [json.loads(ln) for ln in open(path)]
     starts = [i for i, r in enumerate(rows) if r.get("Iteration") == 1]
-    return rows[starts[-1]:] if starts else rows
+    rows = rows[starts[-1]:] if starts else rows
+    # a resumed run restarts from the last snapshot and re-logs the
+    # generations after it; keep the LAST row per Iteration, in order
+    by_it = {}
+    for r in rows:
+        by_it[r.get("Iteration")] = r
+    return [by_it[k] for k in sorted(by_it)]
 
 
 def cutoff_bumps(log_dir):
